@@ -1,0 +1,11 @@
+from multimodal_context_reasoning_tpu.data.collate import (  # noqa: F401
+    BatchSpec,
+    collate_candidates,
+    pad_to,
+)
+from multimodal_context_reasoning_tpu.data.pmr import (  # noqa: F401
+    PMRDataset,
+    load_pmr_jsonl,
+)
+from multimodal_context_reasoning_tpu.data.vcr import VCRDataset, load_vcr_json  # noqa: F401
+from multimodal_context_reasoning_tpu.data.loader import DataLoader  # noqa: F401

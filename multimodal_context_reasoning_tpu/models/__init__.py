@@ -1,0 +1,12 @@
+from multimodal_context_reasoning_tpu.models.layers import (  # noqa: F401
+    BertEmbeddings,
+    TransformerLayer,
+    Pooler,
+)
+from multimodal_context_reasoning_tpu.models.encoders import (  # noqa: F401
+    GlobalImageEncoder,
+    ChunkAlignEncoder,
+)
+from multimodal_context_reasoning_tpu.models.fusion import ChunkAlignFusion  # noqa: F401
+from multimodal_context_reasoning_tpu.models.roberta import PrefixRoberta  # noqa: F401
+from multimodal_context_reasoning_tpu.models.modcr import ModCRModel, ModCROutput  # noqa: F401

@@ -1,0 +1,156 @@
+"""CALeC fusion: multi-view CLS reasoning over the chunk-aligned memory.
+
+Rebuilds ``ChunkAlign_CLS_enc4_align_ensemble``
+(modeling/modeling_vcr_chunkalign_v10.py:872-997) minus encoder ownership
+(the composite model owns the encoders so the global encoder's parameters can
+be shared with the vision-prefix pass):
+
+- fuse the two encoders' CLS vectors through ``cls_ensemble_1``
+  (Linear(2D → D), v10.py:877,912);
+- build the 3×(T-1) "self_chunk_align" memory
+  ``[global_hypo ‖ chunk_align ‖ chunk_hidden]`` (v10.py:913);
+- run ``cls_layer_num`` ClsLayerLyx reasoning layers: single-query 8-head
+  cross-attention of the fused CLS over the memory + BERT FFN (v10.py:840-870,
+  976-977);
+- alignment loss: the last three cross-modal layers' text→image attention
+  maps, summed over layers and heads, re-softmaxed and scored against the
+  ``<|det#|>`` region labels (v10.py:981-987).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodal_context_reasoning_tpu.core.config import ChunkAlignConfig, EncoderConfig
+from multimodal_context_reasoning_tpu.models.layers import FeedForward
+from multimodal_context_reasoning_tpu.ops.attention import dot_product_attention
+from multimodal_context_reasoning_tpu.ops.masks import NEG_INF
+
+
+class ClsLayerLyx(nn.Module):
+    """Single-query multi-head cross-attention + FFN (ClsLayer_lyx, v10.py:840-870).
+
+    The attention core is ``cross_attention_lyx`` (v10.py:660-797) with
+    ``tau=1.0, neg_type=False, prior_score=None`` as called in the production
+    path (v10.py:857).
+    """
+
+    config: EncoderConfig
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(
+        self,
+        memory: jnp.ndarray,                   # [B, M, D]
+        cls: jnp.ndarray,                      # [B, D]
+        memory_bias: Optional[jnp.ndarray],    # [B, 1, 1, M] additive or None
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        c = self.config
+        D = c.hidden_size
+        Dh = D // self.num_heads
+        B, M, _ = memory.shape
+
+        q = nn.Dense(D, name="q_proj")(cls[:, None, :])
+        k = nn.Dense(D, name="k_proj")(memory)
+        v = nn.Dense(D, name="v_proj")(memory)
+        rng = None
+        attn_drop = 0.1  # cross_attention_lyx(dropout=0.1), v10.py:848
+        if not deterministic:
+            rng = self.make_rng("dropout")
+        out, _ = dot_product_attention(
+            q.reshape(B, 1, self.num_heads, Dh),
+            k.reshape(B, M, self.num_heads, Dh),
+            v.reshape(B, M, self.num_heads, Dh),
+            memory_bias,
+            dropout_rate=attn_drop,
+            dropout_rng=rng,
+            deterministic=deterministic,
+        )
+        out = nn.Dense(D, name="out_proj")(out.reshape(B, 1, D))[:, 0]
+
+        out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(out + cls)
+        return FeedForward(c, name="ffn")(h[:, None, :], deterministic=deterministic)[:, 0]
+
+
+class FusionOutput(NamedTuple):
+    cls_ensem: jnp.ndarray                  # [B, D] fused multi-view CLS
+    align_loss: jnp.ndarray                 # scalar
+    align_logits: jnp.ndarray               # [B, T, I] for eval/diagnostics
+
+
+class ChunkAlignFusion(nn.Module):
+    config: EncoderConfig
+    schedule: ChunkAlignConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        global_seq: jnp.ndarray,        # [B, T+I, D] global-encoder sequence
+        global_cls: jnp.ndarray,        # [B, D] global pooled CLS
+        seq_seq: jnp.ndarray,           # [B, T+I, D] chunk-align sequence
+        seq_cls: jnp.ndarray,           # [B, D] chunk-align pooled CLS
+        chunk_hidden: jnp.ndarray,      # [B, T+I, D] pre-cross-modal hiddens
+        seq_attn_probs: jnp.ndarray,    # [B, 3, H, L, L] cross-modal attn maps
+        text_mask: jnp.ndarray,         # [B, T]
+        text_len: int,
+        align_pos: Optional[jnp.ndarray] = None,   # [B, T] {0,1}
+        total_label: Optional[jnp.ndarray] = None,  # [B, T] region indices
+        *,
+        deterministic: bool = True,
+    ) -> FusionOutput:
+        c = self.config
+        T = text_len
+
+        # Fused CLS (v10.py:912).
+        cls_ensem = nn.Dense(c.hidden_size, name="cls_ensemble_1")(
+            jnp.concatenate([global_cls, seq_cls], axis=-1)
+        )
+
+        # 3×(T-1) memory: positions 1..T-1 of each view (v10.py:909-913).
+        memory = jnp.concatenate(
+            [global_seq[:, 1:T], seq_seq[:, 1:T], chunk_hidden[:, 1:T]], axis=1
+        )
+
+        # The reference computes word_mask (v10.py:943-945) but never passes
+        # it into cls_layer_lyx's cross-attention (v10.py:856-857), so padded
+        # memory positions are attended. We mask by default
+        # (schedule.mask_fusion_memory) for padding invariance.
+        memory_bias = None
+        if self.schedule.mask_fusion_memory:
+            word = text_mask[:, 1:T].astype(jnp.float32)
+            tri = jnp.concatenate([word, word, word], axis=-1)
+            memory_bias = ((1.0 - tri) * NEG_INF)[:, None, None, :]
+
+        for i in range(self.schedule.cls_layer_num):
+            cls_ensem = ClsLayerLyx(
+                c, self.schedule.cls_num_heads, name=f"cls_layer_{i}"
+            )(memory, cls_ensem, memory_bias, deterministic=deterministic)
+
+        # Alignment loss (v10.py:981-987): sum the last three cross-modal
+        # layers' attention maps over layers and heads, take text→image block,
+        # re-mask exact zeros (padded image columns underflow to 0.0 in the
+        # fp32 softmax), softmax, and cross-entropy at <|det#|> positions.
+        attn_sum = jnp.sum(seq_attn_probs[:, -3:], axis=(1, 2))      # [B, L, L]
+        attn_ti = attn_sum[:, :T, T:]                                 # [B, T, I]
+        attn_ti = jnp.where(attn_ti == 0.0, -1e5, attn_ti)
+        align_logits = jax.nn.softmax(attn_ti, axis=-1)
+
+        align_loss = jnp.asarray(0.0, dtype=jnp.float32)
+        if align_pos is not None and total_label is not None:
+            # The softmaxed map is (faithfully) treated as *logits* for a
+            # second log-softmax inside the CE, exactly as the reference's
+            # CrossEntropyLoss does.
+            logp = jax.nn.log_softmax(align_logits, axis=-1)          # [B, T, I]
+            tgt = jnp.clip(total_label, 0, attn_ti.shape[-1] - 1)
+            nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+            w = align_pos.astype(jnp.float32)
+            align_loss = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        return FusionOutput(cls_ensem, align_loss, align_logits)

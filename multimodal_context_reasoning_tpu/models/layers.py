@@ -1,0 +1,191 @@
+"""Shared transformer building blocks (Flax linen).
+
+One layer implementation serves all four model families in the framework
+(Oscar global encoder, ChunkAlign sequence encoder, prefix-RoBERTa, and the
+CALeC fusion stack), parameterised by the features the reference implements
+as separate near-duplicate classes:
+
+- ``prefix_kv``: extra hidden vectors prepended to the key/value stream only
+  (queries stay on real tokens).  This is the vendored BERT's
+  ``history_state`` mechanism (a_transformers/modeling_bert.py
+  BertSelfAttention: ``x_states = cat([history_state, hidden]); key/value
+  from x_states, query from hidden``) and the reconstruction of the missing
+  prefix-RoBERTa blob's ``prompt_embeddings=`` contract
+  (modeling_ensemble.py:501-502).
+- ``chunk_query_index``: chunk-mean query rewrite in cross-modal layers
+  (modeling_vcr_chunkalign_v10.py:66-78), vectorised in ops/chunk.py.
+- ``return_probs``: surfaces attention probabilities for the alignment loss
+  (v10.py:981-987) and beam-constraint extraction (v10.py:2107-2133).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from multimodal_context_reasoning_tpu.core.config import EncoderConfig
+from multimodal_context_reasoning_tpu.ops.attention import dot_product_attention
+from multimodal_context_reasoning_tpu.ops.chunk import chunk_mean_scatter
+
+ACT = {
+    "gelu": nn.gelu,
+    "relu": nn.relu,
+    "tanh": nn.tanh,
+    # HF "gelu_new" == tanh-approximated gelu
+    "gelu_new": lambda x: nn.gelu(x, approximate=True),
+}
+
+
+class BertEmbeddings(nn.Module):
+    """Word + position + token-type embeddings, LayerNorm, dropout.
+
+    Reference semantics: a_transformers/modeling_bert.py:166-210.  RoBERTa's
+    position-id offset (positions start at pad_token_id+1 and skip padding)
+    is handled by the caller passing explicit ``position_ids``.
+    """
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,                 # [B, T] int32
+        token_type_ids: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        c = self.config
+        B, T = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros((B, T), dtype=jnp.int32)
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+
+        init = nn.initializers.normal(stddev=c.initializer_range)
+        word = nn.Embed(c.vocab_size, c.hidden_size, embedding_init=init,
+                        name="word_embeddings")(input_ids)
+        pos = nn.Embed(c.max_position_embeddings, c.hidden_size, embedding_init=init,
+                       name="position_embeddings")(position_ids)
+        typ = nn.Embed(c.type_vocab_size, c.hidden_size, embedding_init=init,
+                       name="token_type_embeddings")(token_type_ids)
+        x = word + typ + pos
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(x)
+        x = nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
+        return x
+
+
+class SelfAttention(nn.Module):
+    """Post-LN BERT self-attention with prefix-KV and chunk-mean-query hooks."""
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: jnp.ndarray,                       # [B, L, D]
+        bias: Optional[jnp.ndarray],               # broadcastable [B, H, L, P+L]
+        *,
+        prefix_kv: Optional[jnp.ndarray] = None,   # [B, P, D] raw hidden vectors
+        chunk_query_index: Optional[jnp.ndarray] = None,  # [B, L] ids, -1 = keep
+        num_chunks: int = 0,
+        deterministic: bool = True,
+        return_probs: bool = False,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        c = self.config
+        H, Dh = c.num_attention_heads, c.head_dim
+
+        q = nn.Dense(c.hidden_size, name="query")(hidden)
+        kv_src = hidden
+        if prefix_kv is not None:
+            # KV-prepend of raw prefix states, projected through this layer's
+            # own K/V weights — the history_state mechanism.
+            kv_src = jnp.concatenate([prefix_kv, hidden], axis=1)
+        k = nn.Dense(c.hidden_size, name="key")(kv_src)
+        v = nn.Dense(c.hidden_size, name="value")(kv_src)
+
+        if chunk_query_index is not None:
+            # Chunk-mean query rewrite (applied to the projected queries,
+            # before head split — matching v10.py:66-78 which averages
+            # mixed_query_layer).
+            q = chunk_mean_scatter(q, chunk_query_index, num_chunks)
+
+        B, L, _ = hidden.shape
+        Lk = kv_src.shape[1]
+        q = q.reshape(B, L, H, Dh)
+        k = k.reshape(B, Lk, H, Dh)
+        v = v.reshape(B, Lk, H, Dh)
+
+        rng = None
+        if not deterministic and c.attention_probs_dropout_prob > 0.0:
+            rng = self.make_rng("dropout")
+        out, probs = dot_product_attention(
+            q, k, v, bias,
+            dropout_rate=c.attention_probs_dropout_prob,
+            dropout_rng=rng,
+            deterministic=deterministic,
+            return_probs=return_probs,
+        )
+        out = out.reshape(B, L, c.hidden_size)
+
+        # BertSelfOutput: dense + dropout + residual + LN.
+        out = nn.Dense(c.hidden_size, name="out")(out)
+        out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = nn.LayerNorm(epsilon=c.layer_norm_eps, name="out_layer_norm")(out + hidden)
+        return out, probs
+
+
+class FeedForward(nn.Module):
+    """BertIntermediate + BertOutput: dense-act-dense, dropout, residual, LN."""
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        c = self.config
+        h = nn.Dense(c.intermediate_size, name="intermediate")(x)
+        h = ACT[c.hidden_act](h)
+        h = nn.Dense(c.hidden_size, name="output")(h)
+        h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_layer_norm")(h + x)
+
+
+class TransformerLayer(nn.Module):
+    """One post-LN encoder layer (CaptionBertLayer, v10.py:129-150)."""
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: jnp.ndarray,
+        bias: Optional[jnp.ndarray],
+        *,
+        prefix_kv: Optional[jnp.ndarray] = None,
+        chunk_query_index: Optional[jnp.ndarray] = None,
+        num_chunks: int = 0,
+        deterministic: bool = True,
+        return_probs: bool = False,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        attn_out, probs = SelfAttention(self.config, name="attention")(
+            hidden, bias,
+            prefix_kv=prefix_kv,
+            chunk_query_index=chunk_query_index,
+            num_chunks=num_chunks,
+            deterministic=deterministic,
+            return_probs=return_probs,
+        )
+        out = FeedForward(self.config, name="ffn")(attn_out, deterministic=deterministic)
+        return out, probs
+
+
+class Pooler(nn.Module):
+    """tanh(dense(h[:, 0])) — BertPooler."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        return nn.tanh(nn.Dense(self.hidden_size, name="dense")(hidden[:, 0]))

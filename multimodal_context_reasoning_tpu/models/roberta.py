@@ -1,0 +1,105 @@
+"""Prefix-injected RoBERTa reasoner.
+
+The reference loads a vendored "adapter_transformers" RoBERTa whose forward
+accepts ``prompt_embeddings=`` (a ``[B, P, H]`` tensor of prefix vectors) and
+``input_mask=`` (a ``[B, P]`` mask over the prefix slots); the blob itself is
+missing from the repo (.MISSING_LARGE_BLOBS), so this module reconstructs the
+contract from its only call site (modeling/modeling_ensemble.py:501-503):
+
+    roberta(input_ids, token_type_ids, attention_mask,
+            prompt_embeddings=prefix_emb,   # [B, 10, 1024]
+            input_mask=prompt_mask)          # [B, 10]
+    pooled = outputs[1]
+
+Reconstruction choice: per-layer KV prepend. Each attention layer projects
+the raw prefix vectors through its own key/value weights and prepends them to
+the token K/V stream; queries come only from real tokens, so the sequence
+length, position ids, and pooler (first real token) are untouched. This is
+exactly the mechanism the same authors' vendored BERT exposes as
+``history_state`` (a_transformers modeling_bert.py BertSelfAttention:
+``x_states = cat([history_state, hidden]); key/value from x_states``), which
+makes it the most plausible reading of the missing fork — and it is the
+standard "prefix-tuning" semantics the production checkpoints are named after
+(run_PMR_ModCR.py:642: ``Multi-View-Reasoning-Prefix-tuning_len5-...``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from multimodal_context_reasoning_tpu.core.config import RobertaConfig
+from multimodal_context_reasoning_tpu.models.layers import BertEmbeddings, Pooler, TransformerLayer
+from multimodal_context_reasoning_tpu.core.config import EncoderConfig
+from multimodal_context_reasoning_tpu.ops.masks import NEG_INF
+
+
+def roberta_position_ids(input_ids: jnp.ndarray, pad_token_id: int) -> jnp.ndarray:
+    """HF RoBERTa position ids: cumsum over non-pad, offset by pad_token_id."""
+    mask = (input_ids != pad_token_id).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + pad_token_id
+
+
+class RobertaOutput(NamedTuple):
+    sequence: jnp.ndarray   # [B, L, H]
+    pooled: jnp.ndarray     # [B, H]
+
+
+class PrefixRoberta(nn.Module):
+    config: RobertaConfig
+
+    def _encoder_config(self) -> EncoderConfig:
+        c = self.config
+        return EncoderConfig(
+            vocab_size=c.vocab_size,
+            hidden_size=c.hidden_size,
+            num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            intermediate_size=c.intermediate_size,
+            hidden_act=c.hidden_act,
+            hidden_dropout_prob=c.hidden_dropout_prob,
+            attention_probs_dropout_prob=c.attention_probs_dropout_prob,
+            max_position_embeddings=c.max_position_embeddings,
+            type_vocab_size=c.type_vocab_size,
+            initializer_range=c.initializer_range,
+            layer_norm_eps=c.layer_norm_eps,
+            pad_token_id=c.pad_token_id,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,                      # [B, L]
+        attention_mask: jnp.ndarray,                 # [B, L] {0,1}
+        token_type_ids: Optional[jnp.ndarray] = None,
+        prompt_embeddings: Optional[jnp.ndarray] = None,  # [B, P, H]
+        prompt_mask: Optional[jnp.ndarray] = None,        # [B, P] {0,1}
+        *,
+        deterministic: bool = True,
+    ) -> RobertaOutput:
+        c = self.config
+        ec = self._encoder_config()
+        pos_ids = roberta_position_ids(input_ids, c.pad_token_id)
+        h = BertEmbeddings(ec, name="embeddings")(
+            input_ids, token_type_ids, pos_ids, deterministic=deterministic
+        )
+
+        token_bias = ((1.0 - attention_mask.astype(jnp.float32)) * NEG_INF)
+        if prompt_embeddings is not None:
+            if prompt_mask is None:
+                prompt_mask = jnp.ones(prompt_embeddings.shape[:2], dtype=jnp.float32)
+            prefix_bias = (1.0 - prompt_mask.astype(jnp.float32)) * NEG_INF
+            bias = jnp.concatenate([prefix_bias, token_bias], axis=-1)[:, None, None, :]
+        else:
+            bias = token_bias[:, None, None, :]
+
+        for i in range(c.num_hidden_layers):
+            h, _ = TransformerLayer(ec, name=f"layer_{i}")(
+                h, bias,
+                prefix_kv=prompt_embeddings,
+                deterministic=deterministic,
+            )
+        pooled = Pooler(c.hidden_size, name="pooler")(h)
+        return RobertaOutput(sequence=h, pooled=pooled)
