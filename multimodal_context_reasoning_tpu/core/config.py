@@ -44,10 +44,20 @@ class EncoderConfig:
     img_feature_dim: int = 2054
     use_img_layernorm: bool = False
     img_layer_norm_eps: float = 1e-5
+    # Computation dtype ("float32" | "bfloat16"); params always fp32.
+    # bf16 activations feed the MXU at full rate; softmax stays fp32
+    # (ops/attention.py probs_dtype).
+    dtype: str = "float32"
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,10 +117,17 @@ class RobertaConfig:
     initializer_range: float = 0.02
     layer_norm_eps: float = 1e-5
     pad_token_id: int = 1  # roberta convention; position ids offset from it
+    dtype: str = "float32"
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -173,6 +190,15 @@ class ModCRConfig:
     @property
     def total_prefix_len(self) -> int:
         return 2 * self.prefix_len
+
+    def with_dtype(self, dtype: str) -> "ModCRConfig":
+        """Copy of this config with every submodel's compute dtype set."""
+        return dataclasses.replace(
+            self,
+            global_encoder=dataclasses.replace(self.global_encoder, dtype=dtype),
+            seq_encoder=dataclasses.replace(self.seq_encoder, dtype=dtype),
+            roberta=dataclasses.replace(self.roberta, dtype=dtype),
+        )
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

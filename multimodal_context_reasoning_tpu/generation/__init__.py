@@ -1,0 +1,19 @@
+"""Rationale-generation engine.
+
+Capability parity with the reference's generation surface (SURVEY.md §2.3
+#18-19, #22): greedy KV-cached decode (chunkalign_v10.py:1463-1493),
+constrained beam sampling (beam_sample loop :2194-2320 +
+BeamSearchScorer_constrained score boost :1943-1944), and attention-derived
+lexical-constraint extraction (:2107-2133) — all reformulated as fixed-shape
+jitted loops (lax.scan / lax.while_loop) instead of per-example Python.
+"""
+
+from multimodal_context_reasoning_tpu.generation.decode import (  # noqa: F401
+    greedy_decode,
+)
+from multimodal_context_reasoning_tpu.generation.beam import (  # noqa: F401
+    constrained_beam_sample,
+)
+from multimodal_context_reasoning_tpu.generation.constraints import (  # noqa: F401
+    extract_constraints,
+)

@@ -55,9 +55,11 @@ class ImageTextEmbeddings(nn.Module):
         text = BertEmbeddings(c, name="embeddings")(
             input_ids, token_type_ids, position_ids, deterministic=deterministic
         )
-        img = nn.Dense(c.hidden_size, name="img_embedding")(img_feats)
+        img = nn.Dense(c.hidden_size, dtype=c.jnp_dtype,
+                       name="img_embedding")(img_feats)
         if c.use_img_layernorm:
-            img = nn.LayerNorm(epsilon=c.img_layer_norm_eps, name="img_layer_norm")(img)
+            img = nn.LayerNorm(epsilon=c.img_layer_norm_eps, dtype=c.jnp_dtype,
+                               name="img_layer_norm")(img)
         img = nn.Dropout(c.hidden_dropout_prob)(img, deterministic=deterministic)
         return jnp.concatenate([text, img], axis=1)
 
@@ -101,7 +103,7 @@ class GlobalImageEncoder(nn.Module):
             )
             if output_attentions:
                 probs_all.append(probs)
-        pooled = Pooler(c.hidden_size, name="pooler")(h)
+        pooled = Pooler(c.hidden_size, dtype=c.jnp_dtype, name="pooler")(h)
         attn = jnp.stack(probs_all, axis=1) if output_attentions else None
         return EncoderOutput(sequence=h, pooled=pooled, attn_probs=attn)
 
@@ -196,7 +198,7 @@ class ChunkAlignEncoder(nn.Module):
         if s.add_residual:
             h = h + chunk_hidden  # v10.py:221-223
 
-        pooled = Pooler(c.hidden_size, name="pooler")(h)
+        pooled = Pooler(c.hidden_size, dtype=c.jnp_dtype, name="pooler")(h)
         return EncoderOutput(
             sequence=h,
             pooled=pooled,

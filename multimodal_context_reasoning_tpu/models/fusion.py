@@ -56,9 +56,10 @@ class ClsLayerLyx(nn.Module):
         Dh = D // self.num_heads
         B, M, _ = memory.shape
 
-        q = nn.Dense(D, name="q_proj")(cls[:, None, :])
-        k = nn.Dense(D, name="k_proj")(memory)
-        v = nn.Dense(D, name="v_proj")(memory)
+        dt = c.jnp_dtype
+        q = nn.Dense(D, dtype=dt, name="q_proj")(cls[:, None, :])
+        k = nn.Dense(D, dtype=dt, name="k_proj")(memory)
+        v = nn.Dense(D, dtype=dt, name="v_proj")(memory)
         rng = None
         attn_drop = 0.1  # cross_attention_lyx(dropout=0.1), v10.py:848
         if not deterministic:
@@ -72,10 +73,10 @@ class ClsLayerLyx(nn.Module):
             dropout_rng=rng,
             deterministic=deterministic,
         )
-        out = nn.Dense(D, name="out_proj")(out.reshape(B, 1, D))[:, 0]
+        out = nn.Dense(D, dtype=dt, name="out_proj")(out.reshape(B, 1, D))[:, 0]
 
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(out + cls)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=dt, name="layer_norm")(out + cls)
         return FeedForward(c, name="ffn")(h[:, None, :], deterministic=deterministic)[:, 0]
 
 
@@ -109,7 +110,7 @@ class ChunkAlignFusion(nn.Module):
         T = text_len
 
         # Fused CLS (v10.py:912).
-        cls_ensem = nn.Dense(c.hidden_size, name="cls_ensemble_1")(
+        cls_ensem = nn.Dense(c.hidden_size, dtype=c.jnp_dtype, name="cls_ensemble_1")(
             jnp.concatenate([global_cls, seq_cls], axis=-1)
         )
 

@@ -65,14 +65,15 @@ class BertEmbeddings(nn.Module):
             position_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
 
         init = nn.initializers.normal(stddev=c.initializer_range)
+        dt = c.jnp_dtype
         word = nn.Embed(c.vocab_size, c.hidden_size, embedding_init=init,
-                        name="word_embeddings")(input_ids)
+                        dtype=dt, name="word_embeddings")(input_ids)
         pos = nn.Embed(c.max_position_embeddings, c.hidden_size, embedding_init=init,
-                       name="position_embeddings")(position_ids)
+                       dtype=dt, name="position_embeddings")(position_ids)
         typ = nn.Embed(c.type_vocab_size, c.hidden_size, embedding_init=init,
-                       name="token_type_embeddings")(token_type_ids)
+                       dtype=dt, name="token_type_embeddings")(token_type_ids)
         x = word + typ + pos
-        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(x)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=dt, name="layer_norm")(x)
         x = nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
         return x
 
@@ -97,14 +98,15 @@ class SelfAttention(nn.Module):
         c = self.config
         H, Dh = c.num_attention_heads, c.head_dim
 
-        q = nn.Dense(c.hidden_size, name="query")(hidden)
+        dt = c.jnp_dtype
+        q = nn.Dense(c.hidden_size, dtype=dt, name="query")(hidden)
         kv_src = hidden
         if prefix_kv is not None:
             # KV-prepend of raw prefix states, projected through this layer's
             # own K/V weights — the history_state mechanism.
-            kv_src = jnp.concatenate([prefix_kv, hidden], axis=1)
-        k = nn.Dense(c.hidden_size, name="key")(kv_src)
-        v = nn.Dense(c.hidden_size, name="value")(kv_src)
+            kv_src = jnp.concatenate([prefix_kv.astype(hidden.dtype), hidden], axis=1)
+        k = nn.Dense(c.hidden_size, dtype=dt, name="key")(kv_src)
+        v = nn.Dense(c.hidden_size, dtype=dt, name="value")(kv_src)
 
         if chunk_query_index is not None:
             # Chunk-mean query rewrite (applied to the projected queries,
@@ -131,9 +133,10 @@ class SelfAttention(nn.Module):
         out = out.reshape(B, L, c.hidden_size)
 
         # BertSelfOutput: dense + dropout + residual + LN.
-        out = nn.Dense(c.hidden_size, name="out")(out)
+        out = nn.Dense(c.hidden_size, dtype=dt, name="out")(out)
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
-        out = nn.LayerNorm(epsilon=c.layer_norm_eps, name="out_layer_norm")(out + hidden)
+        out = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=dt,
+                           name="out_layer_norm")(out + hidden)
         return out, probs
 
 
@@ -145,11 +148,13 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         c = self.config
-        h = nn.Dense(c.intermediate_size, name="intermediate")(x)
+        dt = c.jnp_dtype
+        h = nn.Dense(c.intermediate_size, dtype=dt, name="intermediate")(x)
         h = ACT[c.hidden_act](h)
-        h = nn.Dense(c.hidden_size, name="output")(h)
+        h = nn.Dense(c.hidden_size, dtype=dt, name="output")(h)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_layer_norm")(h + x)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=dt,
+                            name="output_layer_norm")(h + x)
 
 
 class TransformerLayer(nn.Module):
@@ -185,7 +190,10 @@ class Pooler(nn.Module):
     """tanh(dense(h[:, 0])) — BertPooler."""
 
     hidden_size: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, hidden: jnp.ndarray) -> jnp.ndarray:
-        return nn.tanh(nn.Dense(self.hidden_size, name="dense")(hidden[:, 0]))
+        return nn.tanh(
+            nn.Dense(self.hidden_size, dtype=self.dtype, name="dense")(hidden[:, 0])
+        )

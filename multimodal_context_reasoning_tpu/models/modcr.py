@@ -51,15 +51,18 @@ class MappingNetwork(nn.Module):
     out_size: int           # reasoner hidden (1024)
     prefix_len: int         # 5
     dropout: float = 0.1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         B = x.shape[0]
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.hidden_size * self.prefix_len, name="dense0")(x)
+        x = nn.Dense(self.hidden_size * self.prefix_len, dtype=self.dtype,
+                     name="dense0")(x)
         x = nn.tanh(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_size * self.prefix_len, name="dense1")(x)
+        x = nn.Dense(self.out_size * self.prefix_len, dtype=self.dtype,
+                     name="dense1")(x)
         return x.reshape(B, self.prefix_len, self.out_size)
 
 
@@ -114,7 +117,8 @@ class ModCRModel(nn.Module):
         vis_cls = stop(vis_out.sequence[:, 0])
         prefix_vision = MappingNetwork(
             c.global_encoder.hidden_size, c.roberta.hidden_size, c.prefix_len,
-            c.mapping_dropout, name="mapping_network_vision",
+            c.mapping_dropout, dtype=c.global_encoder.jnp_dtype,
+            name="mapping_network_vision",
         )(vis_cls, deterministic=deterministic)
 
         # --- 2. Alignment prefix: global + seq encoders + CALeC fusion.
@@ -141,7 +145,8 @@ class ModCRModel(nn.Module):
         )
         prefix_align = MappingNetwork(
             c.global_encoder.hidden_size, c.roberta.hidden_size, c.prefix_len,
-            c.mapping_dropout, name="mapping_network_alignment",
+            c.mapping_dropout, dtype=c.global_encoder.jnp_dtype,
+            name="mapping_network_alignment",
         )(fused.cls_ensem, deterministic=deterministic)
 
         # --- 3. Prefix-RoBERTa reasoning (ensemble:497-503).
@@ -155,7 +160,8 @@ class ModCRModel(nn.Module):
         )
 
         # --- 4. Score + losses (ensemble:511-537).
-        abst_logit = nn.Dense(1, name="abst_confidence_scorer")(r_out.pooled)
+        abst_logit = nn.Dense(1, dtype=c.roberta.jnp_dtype,
+                              name="abst_confidence_scorer")(r_out.pooled)
         logits = abst_logit.reshape(-1, c.num_labels)
 
         loss = jnp.asarray(0.0, jnp.float32)

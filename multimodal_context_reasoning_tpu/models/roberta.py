@@ -66,6 +66,7 @@ class PrefixRoberta(nn.Module):
             initializer_range=c.initializer_range,
             layer_norm_eps=c.layer_norm_eps,
             pad_token_id=c.pad_token_id,
+            dtype=c.dtype,
         )
 
     @nn.compact
@@ -101,5 +102,5 @@ class PrefixRoberta(nn.Module):
                 prefix_kv=prompt_embeddings,
                 deterministic=deterministic,
             )
-        pooled = Pooler(c.hidden_size, name="pooler")(h)
+        pooled = Pooler(c.hidden_size, dtype=c.jnp_dtype, name="pooler")(h)
         return RobertaOutput(sequence=h, pooled=pooled)

@@ -1,0 +1,92 @@
+"""Orbax-backed checkpointing.
+
+Replaces the reference's three torch.save mechanisms (run_PMR_ModCR.py:51-106,
+236-239 and the resume branch :146-156) with a single Orbax
+CheckpointManager: atomic directory swaps, async-safe saves, best-metric
+retention, and a resume path restoring step/params/optimizer in one call.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from multimodal_context_reasoning_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    """Save/restore TrainState + metadata under ``directory``.
+
+    ``best_mode='max'`` keeps the highest-``metric`` checkpoints, mirroring
+    the reference's best-accuracy gate (run_PMR_ModCR.py:234-239) without
+    embedding the accuracy in the filename.
+    """
+
+    def __init__(
+        self,
+        directory: str,
+        *,
+        max_to_keep: int = 3,
+        keep_best: bool = True,
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=(lambda m: m.get("accuracy", 0.0)) if keep_best else None,
+            best_mode="max" if keep_best else None,
+            create=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, state: TrainState, metrics: Optional[dict] = None) -> None:
+        step = int(state.step)
+        payload = {"params": state.params, "opt_state": state.opt_state,
+                   "step": state.step}
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(payload),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore into the structure of ``state`` (tx is reused as-is)."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        template = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        return state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def save_config(directory: str, name: str, payload: Any) -> None:
+    """Dump a JSON sidecar (replaces training_args.bin, run_PMR_ModCR.py:79)."""
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, name), "w") as f:
+        if hasattr(payload, "to_json"):
+            f.write(payload.to_json())
+        else:
+            json.dump(payload, f, indent=2, default=str)

@@ -1,0 +1,110 @@
+"""Optimizer and LR-schedule factory.
+
+Reproduces the reference's optimization recipe (run_PMR_ModCR.py:127-145):
+
+- AdamW over two parameter groups — everything at ``lr``, any parameter whose
+  path contains ``seq_enc`` at ``lr * 0.1``;
+- linear-with-warmup or constant-with-warmup schedule (:138-145);
+- gradient clipping by global norm 1.0 (:216), applied before the update;
+- gradient accumulation (:211-227) via ``optax.MultiSteps``;
+- encoder freezing (torch.no_grad in the reference, modeling_ensemble.py:466,
+  v10.py:895-911) via ``optax.set_to_zero`` on the frozen label — combined
+  with the model's ``stop_gradient`` this keeps frozen params bit-identical
+  *and* lets XLA prune their optimizer state updates;
+- the VCR ablation freeze of RoBERTa's non-embedding/non-pooler params
+  (run_vcr_ModCR.py:783-787) via ``freeze_roberta_body=True``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import optax
+
+from multimodal_context_reasoning_tpu.core.config import TrainConfig
+
+
+def make_schedule(cfg: TrainConfig, total_steps: int) -> optax.Schedule:
+    """Linear warmup, then linear-decay-to-zero or constant."""
+    if cfg.scheduler == "constant":
+        if cfg.warmup_steps > 0:
+            return optax.linear_schedule(0.0, 1.0, cfg.warmup_steps)
+        return optax.constant_schedule(1.0)
+    if cfg.scheduler == "linear":
+        warm = optax.linear_schedule(0.0, 1.0, max(cfg.warmup_steps, 1))
+        decay = optax.linear_schedule(
+            1.0, 0.0, max(total_steps - cfg.warmup_steps, 1)
+        )
+        return optax.join_schedules([warm, decay], [cfg.warmup_steps])
+    raise ValueError(f"Unknown scheduler type: {cfg.scheduler}")
+
+
+def _path_name(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def label_params(
+    params: Any,
+    *,
+    freeze_encoders: bool = True,
+    freeze_roberta_body: bool = False,
+) -> Any:
+    """Label pytree: 'main' | 'seq' (lr×0.1) | 'frozen'.
+
+    Matches the name-substring grouping of run_PMR_ModCR.py:127-135 ('seq_enc'
+    in name → lr×0.1 group) layered under the freezing rules.
+    """
+
+    def label(path, _leaf):
+        name = _path_name(path)
+        if freeze_encoders and ("global_enc" in name or "seq_enc" in name):
+            return "frozen"
+        if freeze_roberta_body and "roberta" in name:
+            # run_vcr_ModCR.py:783-787: only embeddings + pooler stay live.
+            if "embeddings" not in name and "pooler" not in name:
+                return "frozen"
+        if "seq_enc" in name:
+            return "seq"
+        return "main"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(
+    cfg: TrainConfig,
+    total_steps: int,
+    params: Any,
+    *,
+    freeze_roberta_body: bool = False,
+) -> optax.GradientTransformation:
+    schedule = make_schedule(cfg, total_steps)
+
+    def adamw(lr_scale: float) -> optax.GradientTransformation:
+        return optax.adamw(
+            learning_rate=lambda step: cfg.learning_rate * lr_scale * schedule(step),
+            b1=cfg.adam_b1,
+            b2=cfg.adam_b2,
+            eps=cfg.adam_epsilon,
+            weight_decay=cfg.weight_decay,
+        )
+
+    labels = label_params(
+        params,
+        freeze_encoders=cfg.freeze_encoders,
+        freeze_roberta_body=freeze_roberta_body,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.multi_transform(
+            {
+                "main": adamw(1.0),
+                "seq": adamw(cfg.seq_enc_lr_scale),
+                "frozen": optax.set_to_zero(),
+            },
+            labels,
+        ),
+    )
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx

@@ -1,0 +1,120 @@
+"""Jitted SPMD train / eval steps.
+
+One compiled XLA program per step — forward, backward, clip, update, and the
+gradient psum over the ``data`` mesh axis all fuse into it (the reference
+splits this across eager torch calls, run_PMR_ModCR.py:201-227, with no
+multi-device path at all).
+
+Loss semantics follow the production trainer exactly: the optimized loss is
+the 4-way soft CE alone (``loss = cls_loss``, run_PMR_ModCR.py:204-208; the
+alignment-loss term is computed but commented out of the total).  Metrics
+additionally report the alignment loss and candidate accuracy.
+
+Accuracy semantics (eval, run_PMR_ModCR.py:266-274): argmax over the 4
+candidate logits vs argmax of the multi-hot label row — a multi-label PMR row
+counts as correct if the top-scoring candidate is *any* gold candidate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from multimodal_context_reasoning_tpu.parallel.partition import (
+    batch_shardings,
+    param_shardings,
+    replicated,
+)
+from multimodal_context_reasoning_tpu.train.state import TrainState
+
+Batch = Dict[str, jnp.ndarray]
+
+
+def _model_inputs(batch: Batch) -> Batch:
+    return {k: v for k, v in batch.items() if k != "example_mask"}
+
+
+def _metrics(out, batch: Batch, num_labels: int) -> Dict[str, jnp.ndarray]:
+    logits = out.logits                              # [B, K]
+    labels = batch["label"].reshape(logits.shape)    # [B, K] multi-hot
+    pred = jnp.argmax(logits, axis=-1)
+    hit = jnp.take_along_axis(labels, pred[:, None], axis=-1)[:, 0] > 0.0
+    w = batch.get("example_mask")
+    if w is None:
+        w = jnp.ones(logits.shape[:1], jnp.float32)
+    return {
+        "loss": out.loss,
+        "align_loss": out.align_loss,
+        "correct": jnp.sum(hit.astype(jnp.float32) * w),
+        "count": jnp.sum(w),
+    }
+
+
+def make_train_step(
+    model,
+    *,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict]]:
+    """Build the jitted train step; with a mesh, in/out shardings pin the
+    batch to ``data`` and params to the TP rules so XLA compiles the psum."""
+
+    num_labels = model.config.num_labels
+
+    def step(state: TrainState, batch: Batch, rng: jax.Array):
+        inputs = _model_inputs(batch)
+
+        def loss_fn(params):
+            out = model.apply(
+                params, inputs, deterministic=False, rngs={"dropout": rng}
+            )
+            return out.loss, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        metrics = _metrics(out, batch, num_labels)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def jitted(state, batch, rng):
+        b_sh = batch_shardings(batch, mesh)
+        return jax.jit(
+            step,
+            in_shardings=(None, b_sh, replicated(mesh)),
+            donate_argnums=(0,) if donate else (),
+        )(state, batch, rng)
+
+    return jitted
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_eval_step(model, *, mesh: Optional[Mesh] = None):
+    """Jitted eval step → per-batch (logits, correct, count)."""
+
+    num_labels = model.config.num_labels
+
+    def step(params, batch: Batch):
+        out = model.apply(params, _model_inputs(batch), deterministic=True)
+        m = _metrics(out, batch, num_labels)
+        return {"logits": out.logits, "correct": m["correct"], "count": m["count"],
+                "loss": m["loss"]}
+
+    if mesh is None:
+        return jax.jit(step)
+
+    def jitted(params, batch):
+        b_sh = batch_shardings(batch, mesh)
+        return jax.jit(step, in_shardings=(None, b_sh))(params, batch)
+
+    return jitted

@@ -1,0 +1,145 @@
+"""Host-side training loop.
+
+Rebuilds the reference trainer (run_PMR_ModCR.py:115-241) around one jitted
+step: epoch loop, mid-epoch validation gated by ``epoch_begin``/``valid_steps``
+with best-accuracy checkpointing (:230-239), and Orbax resume (:146-156).
+Gradient accumulation lives inside the optimizer (optax.MultiSteps), so the
+host loop is one device call per micro-batch with no `.item()`-style syncs on
+the hot path — metrics are fetched asynchronously.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_context_reasoning_tpu.core.config import TrainConfig
+from multimodal_context_reasoning_tpu.train.checkpoint import CheckpointManager
+from multimodal_context_reasoning_tpu.train.optim import make_optimizer
+from multimodal_context_reasoning_tpu.train.state import TrainState
+from multimodal_context_reasoning_tpu.train.step import make_eval_step, make_train_step
+from multimodal_context_reasoning_tpu.utils.metrics import MetricLogger
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        cfg: TrainConfig,
+        train_loader,
+        val_loader=None,
+        *,
+        mesh=None,
+        checkpoint_dir: Optional[str] = None,
+        logger: Optional[logging.Logger] = None,
+        freeze_roberta_body: bool = False,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.mesh = mesh
+        self.logger = logger or logging.getLogger("modcr")
+        self.freeze_roberta_body = freeze_roberta_body
+
+        steps_per_epoch = max(
+            len(train_loader) // cfg.gradient_accumulation_steps, 1
+        )
+        # t_total semantics: run_PMR_ModCR.py:118-124.
+        if cfg.max_steps > 0:
+            self.t_total = cfg.max_steps
+            self.num_epochs = cfg.max_steps // steps_per_epoch + 1
+        else:
+            self.t_total = steps_per_epoch * cfg.num_train_epochs
+            self.num_epochs = cfg.num_train_epochs
+
+        self.train_step = make_train_step(model, mesh=mesh)
+        self.eval_step = make_eval_step(model, mesh=mesh)
+        self.ckpt = (
+            CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+        )
+        self.best_acc = 0.0
+
+    def init_state(self, rng: Optional[jax.Array] = None, sample_batch=None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        if sample_batch is None:
+            sample_batch = next(iter(self.train_loader))
+        inputs = {k: jnp.asarray(v) for k, v in sample_batch.items()
+                  if k != "example_mask"}
+        params = self.model.init(rng, inputs)
+        tx = make_optimizer(
+            self.cfg, self.t_total, params,
+            freeze_roberta_body=self.freeze_roberta_body,
+        )
+        return TrainState.create(params, tx)
+
+    def resume(self, state: TrainState) -> TrainState:
+        if self.ckpt is None or self.ckpt.latest_step() is None:
+            return state
+        state = self.ckpt.restore(state)
+        self.logger.info("Resumed from step %d", int(state.step))
+        return state
+
+    def evaluate(self, params) -> float:
+        """Full-validation accuracy (run_PMR_ModCR.py:243-280)."""
+        assert self.val_loader is not None
+        correct = 0.0
+        count = 0.0
+        for batch in self.val_loader:
+            out = self.eval_step(params, _device_batch(batch))
+            correct += float(out["correct"])
+            count += float(out["count"])
+        return correct / max(count, 1.0)
+
+    def fit(self, state: Optional[TrainState] = None) -> TrainState:
+        if state is None:
+            state = self.init_state()
+        state = self.resume(state)
+        rng = jax.random.PRNGKey(self.cfg.seed + 1)
+        meter = MetricLogger()
+        accum = self.cfg.gradient_accumulation_steps
+        micro = 0
+
+        for epoch in range(self.num_epochs):
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(epoch)
+            for batch in self.train_loader:
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = self.train_step(
+                    state, _device_batch(batch), step_rng
+                )
+                micro += 1
+                meter.update(
+                    loss=metrics["loss"],
+                    acc=float(metrics["correct"]) / max(float(metrics["count"]), 1),
+                )
+                if micro % accum != 0:
+                    continue
+                opt_step = micro // accum
+                if (
+                    self.val_loader is not None
+                    and epoch >= self.cfg.epoch_begin - 1
+                    and opt_step % self.cfg.valid_steps == 0
+                ):
+                    acc = self.evaluate(state.params)
+                    self.logger.info(
+                        "epoch %d step %d: val accuracy %.4f", epoch + 1, opt_step, acc
+                    )
+                    if acc > self.best_acc:
+                        self.best_acc = acc
+                        if self.ckpt is not None:
+                            self.ckpt.save(state, {"accuracy": acc})
+                if self.cfg.max_steps > 0 and opt_step >= self.cfg.max_steps:
+                    break
+            self.logger.info("epoch %d done: %s", epoch + 1, meter)
+        if self.ckpt is not None:
+            self.ckpt.wait()
+        return state
+
+
+def _device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in batch.items()}

@@ -4,13 +4,35 @@ Multi-device sharding is exercised on CPU via
 ``--xla_force_host_platform_device_count=8`` (the standard JAX trick; the
 reference has no multi-device tests to mirror — it has no tests at all,
 SURVEY.md §4).
+
+The environment may pin a remote-TPU PJRT plugin through ``sitecustomize``
+(activated by ``PALLAS_AXON_POOL_IPS`` before any conftest can run), which
+ignores ``JAX_PLATFORMS=cpu`` and would serialize every unit-test compile
+through the device tunnel.  When that marker is present, re-exec the whole
+pytest process once with a sanitized environment so the suite runs hermetic
+and parallel on local CPU.
 """
 
 import os
+import sys
 
-# Force-override: the environment pins JAX_PLATFORMS=axon (remote TPU
-# tunnel); unit tests must run on local CPU with virtual devices.
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
+    "_MODCR_TESTS_REEXEC"
+):
+    env = dict(os.environ)
+    for key in list(env):
+        if key.startswith(("PALLAS_AXON", "AXON_", "TPU_")):
+            env.pop(key)
+    env["_MODCR_TESTS_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
