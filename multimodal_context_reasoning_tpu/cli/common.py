@@ -1,0 +1,157 @@
+"""Shared CLI plumbing for the PMR / VCR trainers.
+
+Replaces the reference's ~70-flag argparse blocks (run_PMR_ModCR.py:452-681)
+with the subset that is actually read on the production path, keeping the
+original flag names where they exist.  Everything else lives in the typed
+configs (core/config.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import pickle
+from typing import Dict, Optional
+
+import numpy as np
+
+from multimodal_context_reasoning_tpu.core.config import ModCRConfig, TrainConfig
+from multimodal_context_reasoning_tpu.data.collate import BatchSpec
+from multimodal_context_reasoning_tpu.data.schemas import ImageFeatures
+from multimodal_context_reasoning_tpu.data.tokenization import (
+    HashTokenizer,
+    HFTokenizer,
+    RobertaHashTokenizer,
+)
+
+
+def build_arg_parser(task: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=f"ModCR-TPU {task} trainer")
+    # reference flag names (run_PMR_ModCR.py:452-681) where applicable
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_test", action="store_true")
+    p.add_argument("--output_dir", type=str, default=f"output/{task}")
+    p.add_argument("--eval_model_dir", type=str, default="")
+    p.add_argument("--per_gpu_train_batch_size", type=int, default=16)
+    p.add_argument("--per_gpu_eval_batch_size", type=int, default=16)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--adam_epsilon", type=float, default=1e-5)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--scheduler", type=str, default="linear",
+                   choices=("linear", "constant"))
+    p.add_argument("--num_train_epochs", type=int, default=30)
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--seed", type=int, default=88)
+    p.add_argument("--valid_steps", type=int, default=400)
+    p.add_argument("--epoch_begin", type=int, default=2)
+    p.add_argument("--max_seq_length", type=int, default=140)
+    p.add_argument("--max_img_seq_length", type=int, default=50)
+    # data locations (the reference hardcodes relative paths; we take flags)
+    p.add_argument("--train_file", type=str, default="")
+    p.add_argument("--val_file", type=str, default="")
+    p.add_argument("--test_file", type=str, default="")
+    p.add_argument("--img_feat_file", type=str, default="",
+                   help="pickle: {img-id: {'features': [N,2054], ...}}")
+    p.add_argument("--bert_tokenizer_dir", type=str, default="")
+    p.add_argument("--roberta_tokenizer_dir", type=str, default="")
+    # TPU-native
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="data-parallel axis size (0 = all devices)")
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=("float32", "bfloat16"))
+    p.add_argument("--limit", type=int, default=0,
+                   help="cap the number of examples (debug)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model config for smoke tests / CI")
+    return p
+
+
+def configs_from_args(args) -> tuple[ModCRConfig, TrainConfig]:
+    if getattr(args, "tiny", False):
+        cfg = ModCRConfig.tiny()
+    else:
+        cfg = ModCRConfig(
+            text_len=min(args.max_seq_length, 140),
+            img_len=args.max_img_seq_length,
+        ).with_dtype(args.compute_dtype)
+    tcfg = TrainConfig(
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        adam_epsilon=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm,
+        warmup_steps=args.warmup_steps,
+        scheduler=args.scheduler,
+        num_train_epochs=args.num_train_epochs,
+        max_steps=args.max_steps,
+        per_device_batch_size=args.per_gpu_train_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        seed=args.seed,
+        valid_steps=args.valid_steps,
+        epoch_begin=args.epoch_begin,
+        compute_dtype=args.compute_dtype,
+    )
+    return cfg, tcfg
+
+
+def load_tokenizers(args, cfg: ModCRConfig):
+    """HF tokenizers from local dirs when given, hermetic hash fallback
+    otherwise (no hub access is ever attempted)."""
+    if args.bert_tokenizer_dir:
+        from transformers import AutoTokenizer
+
+        bert = HFTokenizer(AutoTokenizer.from_pretrained(args.bert_tokenizer_dir))
+    else:
+        bert = HashTokenizer(vocab_size=cfg.global_encoder.vocab_size)
+    if args.roberta_tokenizer_dir:
+        from transformers import AutoTokenizer
+
+        rob = HFTokenizer(AutoTokenizer.from_pretrained(args.roberta_tokenizer_dir))
+    else:
+        rob = RobertaHashTokenizer(vocab_size=cfg.roberta.vocab_size)
+    return bert, rob
+
+
+def load_image_features(path: str, img_feature_dim: int) -> Dict[str, ImageFeatures]:
+    """Reference feature pickle: {img-id: {'features': tensor [N, 2054],
+    'img_mask': ...}} (Data/VCRChunkAlign.py:586-592, 806-812)."""
+    out: Dict[str, ImageFeatures] = {}
+    with open(path, "rb") as f:
+        raw = pickle.load(f)
+    for key, val in raw.items():
+        feats = val["features"] if isinstance(val, dict) else val
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim != 2 or feats.shape[1] != img_feature_dim:
+            raise ValueError(f"{key}: bad feature shape {feats.shape}")
+        out[str(key)] = ImageFeatures(features=feats, num_regions=feats.shape[0])
+    return out
+
+
+def batch_spec(cfg: ModCRConfig) -> BatchSpec:
+    return BatchSpec(
+        text_len=cfg.text_len, img_len=cfg.img_len,
+        roberta_len=cfg.roberta_len, num_labels=cfg.num_labels,
+        img_feature_dim=cfg.global_encoder.img_feature_dim,
+    )
+
+
+def write_test_predictions(path: str, examples, logits: np.ndarray) -> None:
+    """Reference test() output: one JSON line per example with
+    {total_id, img_id, prediction, answer_type} (run_PMR_ModCR.py:332-351)."""
+    preds = np.argmax(logits, axis=-1)
+    with open(path, "w") as f:
+        for ex, pred in zip(examples, preds):
+            atype = None
+            if ex.answer_types:
+                atype = ex.answer_types[int(pred)]
+            f.write(json.dumps({
+                "total_id": ex.example_id,
+                "img_id": ex.img_id,
+                "prediction": int(pred),
+                "answer_type": atype,
+            }) + "\n")

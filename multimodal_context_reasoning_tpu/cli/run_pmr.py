@@ -1,0 +1,148 @@
+"""PMR trainer entry point (run_PMR_ModCR.py parity).
+
+Usage (reference README.md:22-26 analogue)::
+
+    python -m multimodal_context_reasoning_tpu.cli.run_pmr --do_train \
+        --train_file pmr_data/train-ori.jsonl --val_file pmr_data/val-ori.jsonl \
+        --img_feat_file pmr_feats.pkl --output_dir output/pmr
+
+    python -m multimodal_context_reasoning_tpu.cli.run_pmr --do_test \
+        --test_file pmr_data/test-ori.jsonl --img_feat_file pmr_feats.pkl \
+        --eval_model_dir output/pmr
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from multimodal_context_reasoning_tpu.cli.common import (
+    batch_spec,
+    build_arg_parser,
+    configs_from_args,
+    load_image_features,
+    load_tokenizers,
+    write_test_predictions,
+)
+from multimodal_context_reasoning_tpu.data.loader import DataLoader
+from multimodal_context_reasoning_tpu.data.pmr import PMRDataset, load_pmr_jsonl
+from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+from multimodal_context_reasoning_tpu.parallel.mesh import make_mesh
+from multimodal_context_reasoning_tpu.train.step import make_eval_step
+from multimodal_context_reasoning_tpu.train.trainer import Trainer, _device_batch
+from multimodal_context_reasoning_tpu.utils.logging import setup_logger
+from multimodal_context_reasoning_tpu.utils.misc import mkdir, set_seed
+
+DATASET_CLS = PMRDataset
+LOAD_FN = load_pmr_jsonl
+TASK = "pmr"
+
+
+def make_dataset(args, cfg, files, feats, tokenizers):
+    bert, rob = tokenizers
+    limit = args.limit or None
+    return DATASET_CLS(
+        LOAD_FN(files, limit=limit), feats, bert, rob,
+        spec=batch_spec(cfg), max_chunks=cfg.max_chunks,
+    )
+
+
+def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
+    global DATASET_CLS, LOAD_FN
+    if dataset_cls is not None:
+        DATASET_CLS = dataset_cls
+    if load_fn is not None:
+        LOAD_FN = load_fn
+
+    args = build_arg_parser(task).parse_args(argv)
+    mkdir(args.output_dir)
+    logger = setup_logger(f"modcr.{task}", args.output_dir)
+    set_seed(args.seed)
+
+    cfg, tcfg = configs_from_args(args)
+    n_model = max(args.mesh_model, 1)
+    n_data = args.mesh_data or (len(jax.devices()) // n_model)
+    mesh = make_mesh((n_data, n_model)) if n_data * n_model > 1 else None
+    logger.info("devices=%s mesh=(%d,%d)", jax.devices(), n_data, n_model)
+
+    feats = load_image_features(
+        args.img_feat_file, cfg.global_encoder.img_feature_dim
+    )
+    tokenizers = load_tokenizers(args, cfg)
+    model = ModCRModel(cfg)
+
+    if args.do_train:
+        train_ds = make_dataset(args, cfg, args.train_file, feats, tokenizers)
+        val_ds = (
+            make_dataset(args, cfg, args.val_file, feats, tokenizers)
+            if args.val_file else None
+        )
+        train_dl = DataLoader(
+            train_ds, args.per_gpu_train_batch_size, shuffle=True,
+            seed=args.seed, drop_last=True,
+        )
+        val_dl = (
+            DataLoader(val_ds, args.per_gpu_eval_batch_size)
+            if val_ds else None
+        )
+        trainer = Trainer(
+            model, tcfg, train_dl, val_dl, mesh=mesh,
+            checkpoint_dir=os.path.join(args.output_dir, "ckpt"),
+            logger=logger,
+            freeze_roberta_body=(task == "vcr"),  # run_vcr_ModCR.py:783-787
+        )
+        state = trainer.fit()
+        logger.info("training done: best val acc %.4f", trainer.best_acc)
+        return state
+
+    if args.do_test:
+        test_ds = make_dataset(args, cfg, args.test_file, feats, tokenizers)
+        test_dl = DataLoader(test_ds, args.per_gpu_eval_batch_size)
+        eval_step = make_eval_step(model, mesh=mesh)
+
+        # init params, then restore the checkpoint if given
+        sample = next(iter(test_dl))
+        import jax.numpy as jnp
+
+        params = model.init(
+            jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in sample.items() if k != "example_mask"},
+        )
+        if args.eval_model_dir:
+            from multimodal_context_reasoning_tpu.train.checkpoint import (
+                CheckpointManager,
+            )
+            from multimodal_context_reasoning_tpu.train.optim import make_optimizer
+            from multimodal_context_reasoning_tpu.train.state import TrainState
+
+            tx = make_optimizer(tcfg, 1, params)
+            state = CheckpointManager(
+                os.path.join(args.eval_model_dir, "ckpt")
+            ).restore(TrainState.create(params, tx))
+            params = state.params
+
+        all_logits = []
+        correct = count = 0.0
+        for batch in test_dl:
+            out = eval_step(params, _device_batch(batch))
+            keep = batch["example_mask"] > 0
+            all_logits.append(np.asarray(out["logits"])[keep])
+            correct += float(out["correct"])
+            count += float(out["count"])
+        logits = np.concatenate(all_logits, axis=0)
+        acc = correct / max(count, 1.0)
+        logger.info("test accuracy: %.4f over %d examples", acc, int(count))
+        out_path = os.path.join(
+            args.output_dir, f"result_test_ModICR_{task}.json"
+        )
+        write_test_predictions(out_path, test_ds.examples, logits)
+        logger.info("wrote %s", out_path)
+        return acc
+
+    raise SystemExit("pass --do_train or --do_test")
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,13 @@ class EncoderConfig:
     # bf16 activations feed the MXU at full rate; softmax stays fp32
     # (ops/attention.py probs_dtype).
     dtype: str = "float32"
+    # Fused Pallas attention on TPU for the no-probs/no-dropout path
+    # (ops/pallas_attention.py). Default OFF: measured on v5e at ModCR
+    # shapes (L=130/138), XLA's own fusion of the einsum formulation is
+    # ~25% faster than the hand kernel because L is one token over the
+    # 128-lane boundary and the kernel pays 2x lane padding
+    # (ops/PALLAS_NOTES.md has the numbers). Flip on for longer sequences.
+    use_pallas: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -118,6 +125,7 @@ class RobertaConfig:
     layer_norm_eps: float = 1e-5
     pad_token_id: int = 1  # roberta convention; position ids offset from it
     dtype: str = "float32"
+    use_pallas: bool = False  # see EncoderConfig.use_pallas
 
     @property
     def head_dim(self) -> int:
@@ -152,6 +160,8 @@ class GPT2Config:
     layer_norm_epsilon: float = 1e-5
     initializer_range: float = 0.02
     add_cross_attention: bool = True
+    pad_token_id: int = 50256  # GPT-2 has no pad; reference uses tokenizer pad
+    dtype: str = "float32"
 
     @property
     def inner_dim(self) -> int:

@@ -1,0 +1,269 @@
+"""Constrained beam sampling, fully vectorized under jit.
+
+Reference semantics (modeling_vcr_chunkalign_v10.py:2194-2320 ``beam_sample``
++ ``BeamSearchScorer_constrained.process`` :1892-1966 + ``BeamHypotheses``
+:1794-1839):
+
+per step, for every open beam —
+1. log-softmax the next-token logits;
+2. repetition penalty on tokens already generated (HF semantics:
+   ``s<0 ? s*p : s/p``);
+3. add the running beam scores, top-k warp;
+4. sample ``2·K`` candidates *without replacement* from the softmax over
+   the flattened ``[K·V]`` score matrix (torch.multinomial → Gumbel top-k
+   here), then sort them by score descending;
+5. walk the candidates in order: an EOS candidate ranked in the top K
+   finalizes a hypothesis scored ``sum_logprobs / len^length_penalty``;
+   a non-EOS candidate fills the next open beam slot, with its score
+   multiplied by ``constrained`` when the token is in ``add_score_ids``
+   (the boost compounds into all following steps, :1943-1944);
+6. stop when every batch is done (worst kept hypothesis can no longer be
+   beaten) or ``max_steps`` is reached.
+
+The per-example Python walk of step 5 becomes a masked top-k: EOS
+candidates are split off into the finished pool, the rest keep their sorted
+order — identical selection, no host loop.  Static shapes throughout:
+sequences live in a ``[B, K, L_total]`` buffer, the KV cache is prefilled
+once over the prompt and gathered by beam origin each step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_context_reasoning_tpu.models.gpt2 import GPT2Decoder, KVCache
+
+NEG = -1.0e9
+
+
+def apply_repetition_penalty(
+    logp: jnp.ndarray,        # [N, V]
+    seqs: jnp.ndarray,        # [N, L] generated-so-far (pad elsewhere)
+    valid: jnp.ndarray,       # [N, L] bool, True where seqs holds a real token
+    penalty: float,
+) -> jnp.ndarray:
+    """HF RepetitionPenaltyLogitsProcessor: s<0 → s·p, else s/p, for every
+    token id present in the sequence."""
+    if penalty == 1.0:
+        return logp
+    N, V = logp.shape
+    present = jnp.zeros((N, V), bool)
+    one = jnp.ones(seqs.shape, bool) & valid
+    present = present.at[jnp.arange(N)[:, None], seqs].max(one)
+    penalized = jnp.where(logp < 0, logp * penalty, logp / penalty)
+    return jnp.where(present, penalized, logp)
+
+
+def top_k_warp(scores: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep the top-k per row, everything else → -inf (TopKLogitsWarper)."""
+    if k <= 0 or k >= scores.shape[-1]:
+        return scores
+    kth = jnp.sort(scores, axis=-1)[..., -k][..., None]
+    return jnp.where(scores < kth, NEG, scores)
+
+
+class BeamState(NamedTuple):
+    seqs: jnp.ndarray          # [B, K, L_total] int32
+    beam_scores: jnp.ndarray   # [B, K] f32 running sum of logprobs (boosted)
+    cache: KVCache             # rows = B·K
+    cur_len: jnp.ndarray       # scalar int32: tokens generated so far
+    fin_seqs: jnp.ndarray      # [B, K, L_total]
+    fin_scores: jnp.ndarray    # [B, K] length-penalized, -inf if empty
+    fin_count: jnp.ndarray     # [B] int32
+    done: jnp.ndarray          # [B] bool
+    rng: jax.Array
+
+
+def constrained_beam_sample(
+    model: GPT2Decoder,
+    params,
+    prompt_ids: jnp.ndarray,           # [B, Lp] right-padded
+    prompt_len: jnp.ndarray,           # [B]
+    *,
+    memory: Optional[jnp.ndarray] = None,        # [B, M, D]
+    memory_mask: Optional[jnp.ndarray] = None,   # [B, M]
+    num_beams: int = 5,
+    max_steps: int = 50,
+    eos_id: int,
+    pad_id: int = 0,
+    rng: jax.Array,
+    constraint_mask: Optional[jnp.ndarray] = None,  # [B, V] bool: add_score_ids
+    constraint_factor: float = 0.8,
+    repetition_penalty: float = 1.0,
+    top_k: int = 50,
+    length_penalty: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (best_tokens [B, max_steps], best_len [B])."""
+    B, Lp = prompt_ids.shape
+    K = num_beams
+    V = model.config.vocab_size
+    L_total = Lp + max_steps
+    N = B * K
+
+    # --- Expand prompt/memory over beams and prefill the cache.
+    rep = lambda x: jnp.repeat(x, K, axis=0) if x is not None else None
+    p_ids = rep(prompt_ids)
+    p_len = rep(prompt_len)
+    mem = rep(memory)
+    mem_mask = rep(memory_mask)
+
+    cache = KVCache.zeros(model.config, N, L_total)
+    logits, cache = model.apply(
+        params, p_ids,
+        memory=mem, memory_mask=mem_mask,
+        cache=cache, cache_index=jnp.int32(0),
+        deterministic=True,
+    )
+    last_logits = jnp.take_along_axis(
+        logits, (p_len - 1)[:, None, None], axis=1
+    )[:, 0]                                                     # [N, V]
+
+    state = BeamState(
+        seqs=jnp.full((B, K, L_total), pad_id, jnp.int32),
+        beam_scores=jnp.zeros((B, K), jnp.float32),
+        cache=cache,
+        cur_len=jnp.int32(0),
+        fin_seqs=jnp.full((B, K, L_total), pad_id, jnp.int32),
+        fin_scores=jnp.full((B, K), NEG, jnp.float32),
+        fin_count=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        rng=rng,
+    )
+
+    cmask = constraint_mask if constraint_mask is not None else jnp.zeros((B, V), bool)
+
+    def select(state: BeamState, logp_raw: jnp.ndarray) -> BeamState:
+        """One beam-advance given next-token log-probs [N, V]."""
+        t = state.cur_len
+        gen = state.seqs.reshape(N, L_total)
+        gen_valid = jnp.arange(L_total)[None, :] < t
+        logp = apply_repetition_penalty(logp_raw, gen, gen_valid, repetition_penalty)
+        scores = logp + state.beam_scores.reshape(N)[:, None]    # [N, V]
+        scores = top_k_warp(scores, top_k)
+        flat = scores.reshape(B, K * V)
+
+        # Sample 2K without replacement: Gumbel perturb, take top-2K by the
+        # perturbed value, then order the winners by raw score desc.
+        rng, sub = jax.random.split(state.rng)
+        g = jax.random.gumbel(sub, flat.shape, flat.dtype)
+        _, idx = jax.lax.top_k(flat + g, 2 * K)                  # [B, 2K]
+        cand_scores = jnp.take_along_axis(flat, idx, axis=1)
+        order = jnp.argsort(-cand_scores, axis=1)
+        idx = jnp.take_along_axis(idx, order, axis=1)
+        cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
+        origin = idx // V                                        # [B, 2K]
+        token = idx % V
+
+        is_eos = token == eos_id
+        rank = jnp.broadcast_to(jnp.arange(2 * K)[None], (B, 2 * K))
+
+        # ---- Finished pool: EOS candidates ranked in the top K
+        # (BeamSearchScorer.process: worse-than-top-K EOS is dropped).
+        hyp_len = jnp.maximum(t, 1).astype(jnp.float32)
+        eos_scores = jnp.where(
+            is_eos & (rank < K),
+            cand_scores / (hyp_len ** length_penalty),
+            NEG,
+        )                                                        # [B, 2K]
+        # candidate sequences = origin beam's prefix (no EOS appended,
+        # matching BeamHypotheses.add receiving the pre-EOS input_ids)
+        cand_seqs = jnp.take_along_axis(
+            state.seqs, origin[..., None], axis=1
+        )                                                        # [B, 2K, L]
+        # merge into the kept-K pool
+        pool_scores = jnp.concatenate([state.fin_scores, eos_scores], axis=1)
+        pool_seqs = jnp.concatenate([state.fin_seqs, cand_seqs], axis=1)
+        top_scores, top_idx = jax.lax.top_k(pool_scores, K)
+        new_fin_seqs = jnp.take_along_axis(pool_seqs, top_idx[..., None], axis=1)
+        new_fin_count = jnp.minimum(
+            state.fin_count + jnp.sum(eos_scores > NEG, axis=1), K
+        )
+        # frozen batches keep their pool untouched
+        keep = state.done[:, None]
+        new_fin_scores = jnp.where(keep, state.fin_scores, top_scores)
+        new_fin_seqs = jnp.where(keep[..., None], state.fin_seqs, new_fin_seqs)
+        new_fin_count = jnp.where(state.done, state.fin_count, new_fin_count)
+
+        # ---- Next beams: first K non-EOS candidates in sorted order.
+        open_scores = jnp.where(is_eos, NEG, cand_scores)
+        k_scores, k_idx = jax.lax.top_k(open_scores, K)          # [B, K]
+        k_token = jnp.take_along_axis(token, k_idx, axis=1)
+        k_origin = jnp.take_along_axis(origin, k_idx, axis=1)
+        # constraint boost AFTER selection (reference boosts the score it
+        # writes into next_beam_scores, :1943-1944)
+        boosted = jnp.take_along_axis(cmask, k_token, axis=1)
+        k_scores = jnp.where(boosted, k_scores * constraint_factor, k_scores)
+
+        # reorder sequences + append token (frozen batches: no-op)
+        new_seqs = jnp.take_along_axis(state.seqs, k_origin[..., None], axis=1)
+        new_seqs = jax.lax.dynamic_update_slice(
+            new_seqs, k_token[..., None], (0, 0, t)
+        )
+        new_seqs = jnp.where(keep[..., None], state.seqs, new_seqs)
+        new_scores = jnp.where(keep, state.beam_scores, k_scores)
+
+        # reorder the KV cache by beam origin (global row ids)
+        rows = (jnp.arange(B)[:, None] * K + k_origin).reshape(N)
+        def gather_rows(x):  # [n_layer, N, L, H, Dh]
+            return x[:, rows]
+        new_cache = KVCache(gather_rows(state.cache.k), gather_rows(state.cache.v))
+
+        # done test (BeamHypotheses.is_done, early_stopping=False): the pool
+        # holds K hyps and the best open continuation cannot beat the worst
+        # kept score.
+        best_possible = jnp.max(new_scores, axis=1) / (
+            jnp.maximum(t + 1, 1).astype(jnp.float32) ** length_penalty
+        )
+        worst_kept = jnp.min(new_fin_scores, axis=1)
+        newly_done = (new_fin_count >= K) & (worst_kept >= best_possible)
+
+        return BeamState(
+            seqs=new_seqs,
+            beam_scores=new_scores,
+            cache=new_cache,
+            cur_len=t + 1,
+            fin_seqs=new_fin_seqs,
+            fin_scores=new_fin_scores,
+            fin_count=new_fin_count,
+            done=state.done | newly_done,
+            rng=rng,
+        )
+
+    # first advance uses the prefill logits
+    state = select(state, jax.nn.log_softmax(last_logits.astype(jnp.float32)))
+
+    def cond(state: BeamState):
+        return (state.cur_len < max_steps) & ~jnp.all(state.done)
+
+    def body(state: BeamState):
+        tok = state.seqs.reshape(N, L_total)[
+            jnp.arange(N), state.cur_len - 1
+        ]                                                        # last token
+        logits, cache = model.apply(
+            params, tok[:, None],
+            position_offset=p_len + state.cur_len - 1,
+            memory=mem, memory_mask=mem_mask,
+            cache=state.cache, cache_index=Lp + state.cur_len - 1,
+            deterministic=True,
+        )
+        state = state._replace(cache=cache)
+        return select(state, jax.nn.log_softmax(logits[:, 0].astype(jnp.float32)))
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    # ---- Finalize: open beams fill remaining pool slots (scorer.finalize).
+    final_open = state.beam_scores / (
+        jnp.maximum(state.cur_len, 1).astype(jnp.float32) ** length_penalty
+    )
+    pool_scores = jnp.concatenate([state.fin_scores, final_open], axis=1)
+    pool_seqs = jnp.concatenate([state.fin_seqs, state.seqs], axis=1)
+    best = jnp.argmax(pool_scores, axis=1)                       # [B]
+    best_seqs = jnp.take_along_axis(
+        pool_seqs, best[:, None, None], axis=1
+    )[:, 0]                                                      # [B, L_total]
+    best_tokens = best_seqs[:, :max_steps]
+    lengths = jnp.sum((best_tokens != pad_id).astype(jnp.int32), axis=1)
+    return best_tokens, lengths

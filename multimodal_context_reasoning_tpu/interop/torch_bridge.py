@@ -1,0 +1,340 @@
+"""PyTorch/HuggingFace checkpoint → Flax param-tree conversion.
+
+Covers the reference's loading surface:
+
+- Oscar-base ``BertImgModel`` weights → :class:`GlobalImageEncoder`
+  (run_PMR_ModCR.py:727-730);
+- ChunkAlign pretrain dict with the ``seq_enc.`` prefix stripped →
+  :class:`ChunkAlignEncoder` (run_PMR_ModCR.py:752-763);
+- ``roberta-large`` → :class:`PrefixRoberta`, with the 2-type token-type
+  embedding re-initialisation (run_PMR_ModCR.py:772-781);
+- GPT-2 (Conv1D fused qkv) → :class:`GPT2Decoder`;
+- cold-start key surgery: delete ``mapping_network_vision.`` /
+  ``mapping_network_alignment.`` / ``classifier.`` keys before a non-strict
+  load (run_PMR_ModCR.py:819-832);
+- token-embedding resize for the 45 ``<|det#|>`` special tokens
+  (run_PMR_ModCR.py:715-716,730).
+
+All functions consume a flat ``{name: numpy array}`` dict — call
+``{k: v.cpu().numpy() for k, v in torch.load(p).items()}`` (or use
+:func:`load_torch_state_dict`) to produce one; nothing here imports torch at
+module scope so the package stays importable without it.
+
+Layout notes: torch ``nn.Linear.weight`` is ``[out, in]`` → Flax ``Dense``
+kernels are ``[in, out]`` (transpose); GPT-2's ``Conv1D.weight`` is already
+``[in, out]`` (no transpose), with ``c_attn`` fused as ``[in, 3·out]``
+(split), and cross-attention ``q_attn``/``c_attn``(k,v) handled separately.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+Array = np.ndarray
+StateDict = Dict[str, Array]
+
+
+def load_torch_state_dict(path: str) -> StateDict:
+    """torch.load a .pth/.bin file to a flat numpy dict (handles the
+    reference's ``{'net': state_dict, ...}`` wrapper, run_PMR_ModCR.py:236)."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict) and "net" in raw and isinstance(raw["net"], dict):
+        raw = raw["net"]
+    if hasattr(raw, "state_dict"):
+        raw = raw.state_dict()
+    return {k: v.detach().cpu().numpy() for k, v in raw.items()
+            if hasattr(v, "detach")}
+
+
+def strip_prefix(sd: StateDict, prefix: str) -> StateDict:
+    """Keep only keys under ``prefix``, with it removed
+    (run_PMR_ModCR.py:756-762 strips ``seq_enc.``)."""
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def delete_keys_matching(sd: StateDict, prefixes: Iterable[str]) -> StateDict:
+    """Cold-start surgery (run_PMR_ModCR.py:823-832): drop freshly
+    initialized heads before a non-strict load."""
+    prefixes = tuple(prefixes)
+    return {k: v for k, v in sd.items() if not k.startswith(prefixes)}
+
+
+def resize_token_embeddings(
+    emb: Array, new_size: int, *, std: float = 0.02, seed: int = 0
+) -> Array:
+    """Grow a [V, D] embedding table; new rows ~ N(0, std) (HF
+    resize_token_embeddings semantics for the 45 <|det#|> tokens)."""
+    V, D = emb.shape
+    if new_size <= V:
+        return emb[:new_size]
+    rng = np.random.default_rng(seed)
+    extra = (rng.standard_normal((new_size - V, D)) * std).astype(emb.dtype)
+    return np.concatenate([emb, extra], axis=0)
+
+
+def _t(w: Array) -> Array:
+    return np.ascontiguousarray(w.T)
+
+
+def _get(sd: StateDict, *names: str) -> Optional[Array]:
+    for n in names:
+        if n in sd:
+            return sd[n]
+    return None
+
+
+def _require(sd: StateDict, *names: str) -> Array:
+    v = _get(sd, *names)
+    if v is None:
+        raise KeyError(f"none of {names} found in state dict "
+                       f"(have e.g. {list(sd)[:5]})")
+    return v
+
+
+def convert_bert_encoder(
+    sd: StateDict,
+    num_layers: int,
+    *,
+    vocab_size: Optional[int] = None,
+    has_img_embedding: bool = True,
+) -> Dict[str, Any]:
+    """HF-style BERT(+img_embedding) state dict → Global/ChunkAlign encoder
+    params (structure of models/encoders.py).
+
+    Accepts both bare (``embeddings.…``) and ``bert.``-prefixed keys.
+    """
+    if any(k.startswith("bert.") for k in sd):
+        sd = {**{k[5:]: v for k, v in sd.items() if k.startswith("bert.")},
+              **{k: v for k, v in sd.items() if not k.startswith("bert.")}}
+
+    word = _require(sd, "embeddings.word_embeddings.weight")
+    if vocab_size is not None and word.shape[0] != vocab_size:
+        word = resize_token_embeddings(word, vocab_size)
+
+    emb = {
+        "word_embeddings": {"embedding": word},
+        "position_embeddings": {
+            "embedding": _require(sd, "embeddings.position_embeddings.weight")
+        },
+        "token_type_embeddings": {
+            "embedding": _require(sd, "embeddings.token_type_embeddings.weight")
+        },
+        "layer_norm": {
+            "scale": _require(sd, "embeddings.LayerNorm.weight",
+                              "embeddings.LayerNorm.gamma"),
+            "bias": _require(sd, "embeddings.LayerNorm.bias",
+                             "embeddings.LayerNorm.beta"),
+        },
+    }
+    tree: Dict[str, Any] = {"img_text_embeddings": {"embeddings": emb}}
+
+    if has_img_embedding:
+        w = _get(sd, "img_embedding.weight")
+        if w is not None:
+            tree["img_text_embeddings"]["img_embedding"] = {
+                "kernel": _t(w), "bias": _require(sd, "img_embedding.bias"),
+            }
+
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}."
+
+        def lin(name: str) -> Dict[str, Array]:
+            return {"kernel": _t(_require(sd, p + name + ".weight")),
+                    "bias": _require(sd, p + name + ".bias")}
+
+        tree[f"layer_{i}"] = {
+            "attention": {
+                "query": lin("attention.self.query"),
+                "key": lin("attention.self.key"),
+                "value": lin("attention.self.value"),
+                "out": lin("attention.output.dense"),
+                "out_layer_norm": {
+                    "scale": _require(sd, p + "attention.output.LayerNorm.weight"),
+                    "bias": _require(sd, p + "attention.output.LayerNorm.bias"),
+                },
+            },
+            "ffn": {
+                "intermediate": lin("intermediate.dense"),
+                "output": lin("output.dense"),
+                "output_layer_norm": {
+                    "scale": _require(sd, p + "output.LayerNorm.weight"),
+                    "bias": _require(sd, p + "output.LayerNorm.bias"),
+                },
+            },
+        }
+
+    pw = _get(sd, "pooler.dense.weight")
+    if pw is not None:
+        tree["pooler"] = {"dense": {"kernel": _t(pw),
+                                    "bias": _require(sd, "pooler.dense.bias")}}
+    return tree
+
+
+def convert_roberta(
+    sd: StateDict,
+    num_layers: int,
+    *,
+    vocab_size: Optional[int] = None,
+    reinit_token_types: int = 2,
+    initializer_range: float = 0.02,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """HF roberta state dict → PrefixRoberta params.
+
+    ``reinit_token_types``: the reference replaces roberta's 1-row
+    token-type table with a fresh 2-row one (run_PMR_ModCR.py:779-781).
+    """
+    if any(k.startswith("roberta.") for k in sd):
+        sd = strip_prefix(sd, "roberta.")
+
+    word = _require(sd, "embeddings.word_embeddings.weight")
+    if vocab_size is not None and word.shape[0] != vocab_size:
+        word = resize_token_embeddings(word, vocab_size)
+    hidden = word.shape[1]
+
+    rng = np.random.default_rng(seed)
+    ttype = (rng.standard_normal((reinit_token_types, hidden))
+             * initializer_range).astype(word.dtype)
+
+    tree: Dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": {"embedding": word},
+            "position_embeddings": {
+                "embedding": _require(sd, "embeddings.position_embeddings.weight")
+            },
+            "token_type_embeddings": {"embedding": ttype},
+            "layer_norm": {
+                "scale": _require(sd, "embeddings.LayerNorm.weight"),
+                "bias": _require(sd, "embeddings.LayerNorm.bias"),
+            },
+        }
+    }
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}."
+
+        def lin(name: str) -> Dict[str, Array]:
+            return {"kernel": _t(_require(sd, p + name + ".weight")),
+                    "bias": _require(sd, p + name + ".bias")}
+
+        tree[f"layer_{i}"] = {
+            "attention": {
+                "query": lin("attention.self.query"),
+                "key": lin("attention.self.key"),
+                "value": lin("attention.self.value"),
+                "out": lin("attention.output.dense"),
+                "out_layer_norm": {
+                    "scale": _require(sd, p + "attention.output.LayerNorm.weight"),
+                    "bias": _require(sd, p + "attention.output.LayerNorm.bias"),
+                },
+            },
+            "ffn": {
+                "intermediate": lin("intermediate.dense"),
+                "output": lin("output.dense"),
+                "output_layer_norm": {
+                    "scale": _require(sd, p + "output.LayerNorm.weight"),
+                    "bias": _require(sd, p + "output.LayerNorm.bias"),
+                },
+            },
+        }
+    pw = _get(sd, "pooler.dense.weight")
+    if pw is not None:
+        tree["pooler"] = {"dense": {"kernel": _t(pw),
+                                    "bias": _require(sd, "pooler.dense.bias")}}
+    return tree
+
+
+def convert_gpt2(sd: StateDict, num_layers: int) -> Dict[str, Any]:
+    """HF GPT-2 (Conv1D) state dict → GPT2Decoder params.
+
+    Conv1D weights are stored ``[in, out]`` — our Dense kernels match, no
+    transpose.  ``c_attn`` is ``[in, 3·D]`` fused qkv (split);
+    cross-attention uses ``q_attn`` for q and ``crossattention.c_attn``
+    ``[in, 2·D]`` for k,v (HF layout the vendored copy mirrors,
+    modeling_transfomres.py:285-299).
+    """
+    if any(k.startswith("transformer.") for k in sd):
+        sd = strip_prefix(sd, "transformer.")
+
+    tree: Dict[str, Any] = {
+        "wte": {"embedding": _require(sd, "wte.weight")},
+        "wpe": {"embedding": _require(sd, "wpe.weight")},
+        "ln_f": {"scale": _require(sd, "ln_f.weight"),
+                 "bias": _require(sd, "ln_f.bias")},
+    }
+    for i in range(num_layers):
+        p = f"h.{i}."
+        D = sd[p + "attn.c_attn.weight"].shape[0]
+        w = _require(sd, p + "attn.c_attn.weight")   # [D, 3D]
+        b = _require(sd, p + "attn.c_attn.bias")
+        qw, kw, vw = np.split(w, 3, axis=1)
+        qb, kb, vb = np.split(b, 3)
+        block: Dict[str, Any] = {
+            "ln_1": {"scale": _require(sd, p + "ln_1.weight"),
+                     "bias": _require(sd, p + "ln_1.bias")},
+            "attn": {
+                "q": {"kernel": qw, "bias": qb},
+                "k": {"kernel": kw, "bias": kb},
+                "v": {"kernel": vw, "bias": vb},
+                "out": {"kernel": _require(sd, p + "attn.c_proj.weight"),
+                        "bias": _require(sd, p + "attn.c_proj.bias")},
+            },
+            "ln_2": {"scale": _require(sd, p + "ln_2.weight"),
+                     "bias": _require(sd, p + "ln_2.bias")},
+            "mlp_c_fc": {"kernel": _require(sd, p + "mlp.c_fc.weight"),
+                         "bias": _require(sd, p + "mlp.c_fc.bias")},
+            "mlp_c_proj": {"kernel": _require(sd, p + "mlp.c_proj.weight"),
+                           "bias": _require(sd, p + "mlp.c_proj.bias")},
+        }
+        if p + "crossattention.c_attn.weight" in sd:
+            cw = sd[p + "crossattention.c_attn.weight"]  # [D, 2D]
+            cb = sd[p + "crossattention.c_attn.bias"]
+            kw2, vw2 = np.split(cw, 2, axis=1)
+            kb2, vb2 = np.split(cb, 2)
+            block["crossattention"] = {
+                "q": {"kernel": _require(sd, p + "crossattention.q_attn.weight"),
+                      "bias": _require(sd, p + "crossattention.q_attn.bias")},
+                "k": {"kernel": kw2, "bias": kb2},
+                "v": {"kernel": vw2, "bias": vb2},
+                "out": {"kernel": _require(sd, p + "crossattention.c_proj.weight"),
+                        "bias": _require(sd, p + "crossattention.c_proj.bias")},
+            }
+            block["ln_cross"] = {
+                "scale": _require(sd, p + "ln_cross_attn.weight"),
+                "bias": _require(sd, p + "ln_cross_attn.bias"),
+            }
+        tree[f"block_{i}"] = block
+    return tree
+
+
+def merge_into(params: Dict[str, Any], sub: Dict[str, Any],
+               path: Tuple[str, ...]) -> None:
+    """Graft ``sub`` into ``params['params'][*path]`` in place, checking
+    shapes leaf-by-leaf (the non-strict-load analogue: extra target leaves
+    keep their fresh init)."""
+    import jax
+
+    node = params["params"]
+    for k in path[:-1]:
+        node = node[k]
+    target = node[path[-1]]
+
+    def graft(dst, src, crumbs=()):
+        for k, v in src.items():
+            if k not in dst:
+                raise KeyError(f"no target param {'/'.join(crumbs + (k,))}")
+            if isinstance(v, dict):
+                graft(dst[k], v, crumbs + (k,))
+            else:
+                if tuple(dst[k].shape) != tuple(v.shape):
+                    raise ValueError(
+                        f"shape mismatch at {'/'.join(crumbs + (k,))}: "
+                        f"{dst[k].shape} vs {v.shape}"
+                    )
+                dst[k] = np.asarray(v, dtype=np.float32)
+
+    graft(target, sub)

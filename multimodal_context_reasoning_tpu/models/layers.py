@@ -120,16 +120,25 @@ class SelfAttention(nn.Module):
         k = k.reshape(B, Lk, H, Dh)
         v = v.reshape(B, Lk, H, Dh)
 
-        rng = None
-        if not deterministic and c.attention_probs_dropout_prob > 0.0:
-            rng = self.make_rng("dropout")
-        out, probs = dot_product_attention(
-            q, k, v, bias,
-            dropout_rate=c.attention_probs_dropout_prob,
-            dropout_rng=rng,
-            deterministic=deterministic,
-            return_probs=return_probs,
-        )
+        needs_dropout = not deterministic and c.attention_probs_dropout_prob > 0.0
+        if c.use_pallas and not return_probs and not needs_dropout:
+            # Fused Pallas kernel: no [L, L] scores in HBM. Falls back to the
+            # einsum path automatically on CPU (ops/pallas_attention.py).
+            from multimodal_context_reasoning_tpu.ops.pallas_attention import (
+                attention as fused,
+            )
+
+            out = fused(q, k, v, bias)
+            probs = None
+        else:
+            rng = self.make_rng("dropout") if needs_dropout else None
+            out, probs = dot_product_attention(
+                q, k, v, bias,
+                dropout_rate=c.attention_probs_dropout_prob,
+                dropout_rng=rng,
+                deterministic=deterministic,
+                return_probs=return_probs,
+            )
         out = out.reshape(B, L, c.hidden_size)
 
         # BertSelfOutput: dense + dropout + residual + LN.

@@ -128,9 +128,22 @@ class ModCRModel(nn.Module):
             token_type_ids=batch.get("token_type_ids"),
             deterministic=deterministic,
         )
+        # Dense chunk mask: taken from the batch when a parity run ships the
+        # reference's pickled [T, T] masks, synthesized on device from the
+        # flat gather_index otherwise (ops/chunk.py — nothing quadratic is
+        # stored or transferred).
+        chunk_mask = batch.get("chunk_mask")
+        if chunk_mask is None:
+            from multimodal_context_reasoning_tpu.ops.chunk import (
+                chunk_mask_from_gather_index,
+            )
+
+            chunk_mask = chunk_mask_from_gather_index(
+                batch["gather_index"], text_mask
+            )
         s_out = seq_enc(
             input_ids, img_feat, text_mask, img_mask,
-            batch["chunk_mask"], batch["gather_index"], c.max_chunks,
+            chunk_mask, batch["gather_index"], c.max_chunks,
             token_type_ids=batch.get("token_type_ids"),
             deterministic=deterministic,
         )

@@ -1,0 +1,222 @@
+"""Rationale generation: candidate classification + GPT-2 explanation decode.
+
+Rebuilds the ``ChunkAlign_CLS_dec5_4`` family
+(modeling_vcr_chunkalign_v10.py:1319-1494, beam variants :2039-2320):
+
+- global + ChunkAlign sequence encoders (trainable in this family, unlike
+  the frozen prod ModCR path), CLS fusion through ``cls_ensemble``
+  (Linear(2D→D)) and ``cls_layer_num`` reasoning layers over the
+  3×(T-1) ``[global_hypo ‖ chunk_align ‖ chunk_hidden]`` memory — this
+  variant *does* mask padded memory (:1369-1372);
+- ``classifier: Linear(D, 2)`` per-candidate binary logits, CE against the
+  flat binary target, and :func:`binary_to_mp` for the 4-way decision
+  (:363-373);
+- a GPT-2 cross-attention decoder generating the explanation for each
+  question's *gold* candidate row: the decoder memory is
+  ``[seq_hypo ‖ global_hypo ‖ chunk_hidden]`` (note the order differs from
+  the cls memory, :1384-1387), detached, gathered at ``label`` (:1391-1398);
+  teacher-forced XE ignoring pad (:1407-1411).
+
+The reasoning layers return their attention maps so beam constraints can be
+extracted (generation/constraints.py; reference :2107-2112 sums ClsLayer
+attentions to rank tokens).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodal_context_reasoning_tpu.core.config import (
+    ChunkAlignConfig,
+    EncoderConfig,
+    GPT2Config,
+)
+from multimodal_context_reasoning_tpu.models.encoders import (
+    ChunkAlignEncoder,
+    GlobalImageEncoder,
+)
+from multimodal_context_reasoning_tpu.models.gpt2 import GPT2Decoder
+from multimodal_context_reasoning_tpu.models.layers import FeedForward
+from multimodal_context_reasoning_tpu.ops.attention import dot_product_attention
+from multimodal_context_reasoning_tpu.ops.masks import NEG_INF
+
+
+def binary_to_mp(logits: jnp.ndarray, num_labels: int = 4) -> jnp.ndarray:
+    """Per-candidate binary logits → multiple-choice probabilities.
+
+    softmax over {false,true}, take P(true), reshape (-1, num_labels)
+    (modeling_vcr_chunkalign_v10.py:363-373).
+    """
+    p_true = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+    return p_true.reshape(-1, num_labels)
+
+
+class ClsReasonLayer(nn.Module):
+    """Single-query cross-attention of the CLS over a memory + BERT FFN.
+
+    ClsLayer2 (v10.py:801-837): BERT-style multi-head attention with the
+    fused CLS as the only query, followed by intermediate/output FFN with
+    residual+LN; returns the attention probabilities.
+    """
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        memory: jnp.ndarray,                 # [B, M, D]
+        cls: jnp.ndarray,                    # [B, D]
+        memory_bias: Optional[jnp.ndarray],  # [B, 1, 1, M]
+        *,
+        deterministic: bool = True,
+    ):
+        c = self.config
+        dt = c.jnp_dtype
+        D, H = c.hidden_size, c.num_attention_heads
+        Dh = D // H
+        B, M, _ = memory.shape
+
+        q = nn.Dense(D, dtype=dt, name="query")(cls[:, None, :])
+        k = nn.Dense(D, dtype=dt, name="key")(memory)
+        v = nn.Dense(D, dtype=dt, name="value")(memory)
+        rng = None
+        if not deterministic and c.attention_probs_dropout_prob > 0:
+            rng = self.make_rng("dropout")
+        out, probs = dot_product_attention(
+            q.reshape(B, 1, H, Dh), k.reshape(B, M, H, Dh), v.reshape(B, M, H, Dh),
+            memory_bias,
+            dropout_rate=c.attention_probs_dropout_prob, dropout_rng=rng,
+            deterministic=deterministic, return_probs=True,
+        )
+        out = nn.Dense(D, dtype=dt, name="out")(out.reshape(B, D))
+        out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=dt, name="layer_norm")(out + cls)
+        h = FeedForward(c, name="ffn")(h[:, None, :], deterministic=deterministic)[:, 0]
+        # probs: [B, H, 1, M] → [B, M] summed over heads
+        return h, jnp.sum(probs[:, :, 0, :], axis=1)
+
+
+class RationaleOutput(NamedTuple):
+    gen_loss: jnp.ndarray       # scalar teacher-forcing XE
+    cls_loss: jnp.ndarray       # scalar binary CE
+    mp_probs: jnp.ndarray       # [Q, num_labels] choice probabilities
+    cls_attn: jnp.ndarray       # [B, M] summed reasoning-layer attention
+    decoder_memory: jnp.ndarray  # [Q, 3(T-1), D] gold-candidate memory
+    decoder_memory_mask: jnp.ndarray  # [Q, 3(T-1)]
+
+
+class RationaleModel(nn.Module):
+    config: EncoderConfig
+    schedule: ChunkAlignConfig
+    gpt2: GPT2Config
+    num_labels: int = 4
+    cls_layer_num: int = 3       # v10.py:1330
+    max_chunks: int = 40
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: Dict[str, jnp.ndarray],
+        *,
+        deterministic: bool = True,
+    ) -> RationaleOutput:
+        c = self.config
+        input_ids = batch["input_ids"]       # [B, T] (B = Q·num_labels)
+        text_mask = batch["text_mask"]       # [B, T]
+        img_feat = batch["img_feat"]
+        img_mask = batch["img_mask"]
+        B, T = input_ids.shape
+
+        global_enc = GlobalImageEncoder(c, name="global_enc")
+        seq_enc = ChunkAlignEncoder(c, self.schedule, name="seq_enc")
+        dec = GPT2Decoder(self.gpt2, name="dec")
+
+        full_mask = jnp.concatenate([text_mask, img_mask], axis=-1)
+        g = global_enc(
+            input_ids, img_feat, full_mask,
+            token_type_ids=batch.get("token_type_ids"),
+            deterministic=deterministic,
+        )
+        s = seq_enc(
+            input_ids, img_feat, text_mask, img_mask,
+            batch["chunk_mask"], batch["gather_index"], self.max_chunks,
+            token_type_ids=batch.get("token_type_ids"),
+            deterministic=deterministic,
+        )
+
+        cls = nn.Dense(c.hidden_size, dtype=c.jnp_dtype, name="cls_ensemble")(
+            jnp.concatenate([g.pooled, s.pooled], axis=-1)
+        )
+        # cls-layer memory: [global ‖ seq ‖ chunk_hidden] over positions 1..T-1
+        memory = jnp.concatenate(
+            [g.sequence[:, 1:T], s.sequence[:, 1:T], s.chunk_hidden[:, 1:T]], axis=1
+        )
+        word = text_mask[:, 1:T].astype(jnp.float32)
+        tri_mask = jnp.concatenate([word, word, word], axis=-1)
+        memory_bias = ((1.0 - tri_mask) * NEG_INF)[:, None, None, :]
+
+        attn_sum = jnp.zeros(memory.shape[:2], jnp.float32)
+        for i in range(self.cls_layer_num):
+            cls, probs = ClsReasonLayer(c, name=f"cls_layer_{i}")(
+                memory, cls, memory_bias, deterministic=deterministic
+            )
+            attn_sum = attn_sum + probs.astype(jnp.float32)
+
+        logits = nn.Dense(2, dtype=c.jnp_dtype, name="classifier")(cls)  # [B, 2]
+
+        cls_loss = jnp.asarray(0.0, jnp.float32)
+        label = batch.get("label")
+        if label is not None:
+            lbl = label.reshape(-1).astype(jnp.int32)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            cls_loss = -jnp.mean(jnp.take_along_axis(logp, lbl[:, None], axis=1))
+        mp_probs = binary_to_mp(logits, self.num_labels)
+
+        # ---- Decoder memory: gold-candidate row per question (:1384-1398).
+        dec_memory = jax.lax.stop_gradient(jnp.concatenate(
+            [s.sequence[:, 1:T], g.sequence[:, 1:T], s.chunk_hidden[:, 1:T]],
+            axis=1,
+        ))
+        dec_mask = tri_mask
+        Q = B // self.num_labels
+        if label is not None:
+            gold = jnp.argmax(label.reshape(Q, self.num_labels), axis=-1)
+        else:
+            gold = jnp.argmax(mp_probs, axis=-1)
+        rows = jnp.arange(Q) * self.num_labels + gold
+        mem_q = dec_memory[rows]
+        mask_q = dec_mask[rows]
+
+        gen_loss = jnp.asarray(0.0, jnp.float32)
+        if "expl_ids" in batch:
+            # expl streams are per-question (reference keeps only candidate 0
+            # of each 4-row group, :1399-1401)
+            expl = batch["expl_ids"]            # [Q, Lg]
+            expl_mask = batch.get("expl_mask")  # [Q, Lg]
+            gpt_labels = batch.get("gpt_labels", expl)
+            lm_logits, _ = dec(
+                expl,
+                memory=mem_q.astype(jnp.float32),
+                memory_mask=mask_q,
+                attn_mask=expl_mask,
+                deterministic=deterministic,
+            )
+            shift_logits = lm_logits[:, :-1]
+            shift_labels = gpt_labels[:, 1:]
+            logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, shift_labels[..., None], axis=-1)[..., 0]
+            keep = (shift_labels != self.gpt2.pad_token_id).astype(jnp.float32)
+            gen_loss = jnp.sum(nll * keep) / jnp.maximum(jnp.sum(keep), 1.0)
+
+        return RationaleOutput(
+            gen_loss=gen_loss,
+            cls_loss=cls_loss,
+            mp_probs=mp_probs,
+            cls_attn=attn_sum,
+            decoder_memory=mem_q,
+            decoder_memory_mask=mask_q,
+        )

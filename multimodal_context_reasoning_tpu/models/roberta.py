@@ -67,6 +67,7 @@ class PrefixRoberta(nn.Module):
             layer_norm_eps=c.layer_norm_eps,
             pad_token_id=c.pad_token_id,
             dtype=c.dtype,
+            use_pallas=c.use_pallas,
         )
 
     @nn.compact

@@ -1,0 +1,236 @@
+"""Generation engine tests: KV-cache consistency, greedy/beam decode,
+constraint extraction, rationale model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_context_reasoning_tpu.core.config import (
+    ChunkAlignConfig,
+    EncoderConfig,
+    GPT2Config,
+)
+from multimodal_context_reasoning_tpu.generation.beam import (
+    apply_repetition_penalty,
+    constrained_beam_sample,
+    top_k_warp,
+)
+from multimodal_context_reasoning_tpu.generation.constraints import (
+    constraint_vocab_mask,
+    extract_constraint_words,
+)
+from multimodal_context_reasoning_tpu.generation.decode import greedy_decode
+from multimodal_context_reasoning_tpu.models.gpt2 import GPT2Decoder, KVCache
+from multimodal_context_reasoning_tpu.models.rationale import (
+    RationaleModel,
+    binary_to_mp,
+)
+
+V = 128
+
+
+@pytest.fixture(scope="module")
+def gpt2_setup():
+    cfg = GPT2Config(
+        vocab_size=V, n_positions=96, n_embd=32, n_layer=2, n_head=4,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0, pad_token_id=0,
+    )
+    model = GPT2Decoder(cfg)
+    rng = np.random.default_rng(0)
+    B, Lp, M = 2, 6, 5
+    prompt = jnp.asarray(rng.integers(2, V, size=(B, Lp)), jnp.int32)
+    mem = jnp.asarray(rng.normal(size=(B, M, 32)), jnp.float32)
+    mmask = jnp.ones((B, M))
+    params = model.init(jax.random.PRNGKey(0), prompt, memory=mem,
+                        memory_mask=mmask)
+    return cfg, model, params, prompt, mem, mmask
+
+
+class TestKVCache:
+    def test_prefill_matches_full_forward(self, gpt2_setup):
+        """Cached prefill logits == uncached causal forward logits."""
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        full, _ = model.apply(params, prompt, memory=mem, memory_mask=mmask)
+        cache = KVCache.zeros(cfg, B, Lp + 4)
+        cached, _ = model.apply(
+            params, prompt, memory=mem, memory_mask=mmask,
+            cache=cache, cache_index=jnp.int32(0),
+        )
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(cached), rtol=1e-5, atol=1e-5
+        )
+
+    def test_incremental_matches_full(self, gpt2_setup):
+        """Decoding token t with the cache == full forward over t+1 tokens."""
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        nxt = jnp.asarray([[5], [9]], jnp.int32)
+        seq = jnp.concatenate([prompt, nxt], axis=1)
+        full, _ = model.apply(params, seq, memory=mem, memory_mask=mmask)
+
+        cache = KVCache.zeros(cfg, B, Lp + 4)
+        _, cache = model.apply(
+            params, prompt, memory=mem, memory_mask=mmask,
+            cache=cache, cache_index=jnp.int32(0),
+        )
+        step, _ = model.apply(
+            params, nxt, position_offset=jnp.full((B,), Lp, jnp.int32),
+            memory=mem, memory_mask=mmask,
+            cache=cache, cache_index=jnp.int32(Lp),
+        )
+        np.testing.assert_allclose(
+            np.asarray(full[:, -1]), np.asarray(step[:, 0]), rtol=1e-5, atol=1e-5
+        )
+
+
+class TestGreedy:
+    def test_first_token_is_argmax_of_prompt_logits(self, gpt2_setup):
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        plen = jnp.full((B,), Lp, jnp.int32)
+        toks, _ = greedy_decode(
+            model, params, prompt, plen, memory=mem, memory_mask=mmask,
+            max_len=4, eos_id=1, pad_id=0,
+        )
+        full, _ = model.apply(params, prompt, memory=mem, memory_mask=mmask)
+        want = jnp.argmax(full[:, -1], axis=-1)
+        np.testing.assert_array_equal(np.asarray(toks[:, 0]), np.asarray(want))
+
+    def test_respects_real_prompt_length(self, gpt2_setup):
+        """A right-padded prompt decodes from its real last token."""
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        plen = jnp.asarray([Lp, Lp - 2], jnp.int32)
+        toks, _ = greedy_decode(
+            model, params, prompt, plen, memory=mem, memory_mask=mmask,
+            max_len=3, eos_id=1, pad_id=0,
+        )
+        short, _ = model.apply(
+            params, prompt[1:2, : Lp - 2], memory=mem[1:2],
+            memory_mask=mmask[1:2],
+        )
+        want = int(jnp.argmax(short[0, -1]))
+        assert int(toks[1, 0]) == want
+
+
+class TestBeam:
+    def test_deterministic_given_rng(self, gpt2_setup):
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        plen = jnp.full((B,), Lp, jnp.int32)
+        kw = dict(
+            memory=mem, memory_mask=mmask, num_beams=3, max_steps=6,
+            eos_id=1, pad_id=0, top_k=20,
+        )
+        a, _ = constrained_beam_sample(
+            model, params, prompt, plen, rng=jax.random.PRNGKey(7), **kw
+        )
+        b, _ = constrained_beam_sample(
+            model, params, prompt, plen, rng=jax.random.PRNGKey(7), **kw
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_constraint_boost_prefers_constraint_tokens(self, gpt2_setup):
+        """With an overwhelming boost every sampled continuation should hit
+        constraint tokens more often than without."""
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        plen = jnp.full((B,), Lp, jnp.int32)
+        cmask = np.zeros((B, V), bool)
+        cmask[:, 40:60] = True
+        kw = dict(
+            memory=mem, memory_mask=mmask, num_beams=4, max_steps=8,
+            eos_id=1, pad_id=0, top_k=0,
+        )
+        boosted, _ = constrained_beam_sample(
+            model, params, prompt, plen, rng=jax.random.PRNGKey(3),
+            constraint_mask=jnp.asarray(cmask), constraint_factor=0.01, **kw
+        )
+        plain, _ = constrained_beam_sample(
+            model, params, prompt, plen, rng=jax.random.PRNGKey(3),
+            constraint_mask=None, **kw
+        )
+        n_boost = int(np.isin(np.asarray(boosted), np.arange(40, 60)).sum())
+        n_plain = int(np.isin(np.asarray(plain), np.arange(40, 60)).sum())
+        assert n_boost >= n_plain
+
+    def test_repetition_penalty_math(self):
+        logp = jnp.asarray([[-1.0, -2.0, -3.0]])
+        seqs = jnp.asarray([[1]])
+        valid = jnp.asarray([[True]])
+        out = apply_repetition_penalty(logp, seqs, valid, 2.0)
+        np.testing.assert_allclose(np.asarray(out), [[-1.0, -4.0, -3.0]])
+
+    def test_top_k_warp(self):
+        s = jnp.asarray([[1.0, 5.0, 3.0, 2.0]])
+        out = np.asarray(top_k_warp(s, 2))
+        assert out[0, 1] == 5.0 and out[0, 2] == 3.0
+        assert out[0, 0] < -1e8 and out[0, 3] < -1e8
+
+
+class TestConstraints:
+    def test_extraction_filters(self):
+        tokens = ["[CLS]", "the", "dog", "##gy", "is", "running", "<|det3|>", "[SEP]"]
+        attn = [9.0, 8.0, 7.0, 6.5, 6.0, 5.0, 4.0, 3.0]
+        words = extract_constraint_words(tokens, attn, max_constraints=3)
+        assert words == ["dog", "running"]
+
+    def test_vocab_mask(self):
+        mask = constraint_vocab_mask(
+            ["dog"], lambda s: [3, 5] if s == " dog" else [9], 16
+        )
+        assert mask[3] and mask[5] and not mask[9]
+
+
+class TestRationale:
+    def test_forward_losses_and_shapes(self):
+        enc = EncoderConfig(
+            vocab_size=256, hidden_size=32, num_hidden_layers=4,
+            num_attention_heads=4, intermediate_size=64,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            max_position_embeddings=128, img_feature_dim=20,
+        )
+        sched = ChunkAlignConfig(chunk_layers_end=1, full_layers_end=2)
+        gpt = GPT2Config(
+            vocab_size=128, n_positions=128, n_embd=32, n_layer=2, n_head=4,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0, pad_token_id=0,
+        )
+        model = RationaleModel(enc, sched, gpt, max_chunks=8)
+
+        rng = np.random.default_rng(0)
+        Q, K, T, I = 2, 4, 12, 6
+        B = Q * K
+        label = np.zeros((B,), np.int32)
+        label[::K] = 1
+        batch = {
+            "input_ids": jnp.asarray(rng.integers(4, 256, size=(B, T)), jnp.int32),
+            "text_mask": jnp.ones((B, T)),
+            "img_feat": jnp.asarray(rng.normal(size=(B, I, 20)), jnp.float32),
+            "img_mask": jnp.ones((B, I)),
+            "chunk_mask": jnp.ones((B, T, T)),
+            "gather_index": jnp.full((B, T), -1, jnp.int32),
+            "label": jnp.asarray(label),
+            "expl_ids": jnp.asarray(rng.integers(2, 128, size=(Q, 10)), jnp.int32),
+            "expl_mask": jnp.ones((Q, 10)),
+        }
+        params = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(params, batch)
+        assert out.mp_probs.shape == (Q, K)
+        assert np.isfinite(float(out.gen_loss)) and float(out.gen_loss) > 0
+        assert np.isfinite(float(out.cls_loss)) and float(out.cls_loss) > 0
+        assert out.decoder_memory.shape == (Q, 3 * (T - 1), 32)
+        # each entry is P(true) in [0, 1]
+        assert np.all(np.asarray(out.mp_probs) >= 0)
+        assert np.all(np.asarray(out.mp_probs) <= 1)
+
+    def test_binary_to_mp(self):
+        logits = jnp.asarray([[0.0, 10.0], [0.0, -10.0],
+                              [0.0, 0.0], [5.0, 5.0]])
+        mp = np.asarray(binary_to_mp(logits, 4))
+        assert mp.shape == (1, 4)
+        np.testing.assert_allclose(mp[0, 0], 1.0, atol=1e-3)
+        np.testing.assert_allclose(mp[0, 1], 0.0, atol=1e-3)
+        np.testing.assert_allclose(mp[0, 2], 0.5, atol=1e-3)
+        np.testing.assert_allclose(mp[0, 3], 0.5, atol=1e-3)
