@@ -21,9 +21,11 @@ import os
 import sys
 import time
 
-N_EXAMPLES = 8          # batch of 8 examples -> 32 candidate rows
+N_EXAMPLES = 32         # batch of 32 examples -> 128 candidate rows
+                        # (measured knee of the throughput curve on v5e:
+                        #  8 ex -> 125 ex/s, 32 -> 169, 64 -> 168)
 WARMUP = 2
-ITERS = 30
+ITERS = 20
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 
 
@@ -124,7 +126,7 @@ def measure_cpu_reference() -> float:
 
         step()  # warmup
         t0 = time.perf_counter()
-        iters = 2
+        iters = 1
         for _ in range(iters):
             step()
         dt = time.perf_counter() - t0

@@ -183,6 +183,9 @@ class ModCRConfig:
     num_labels: int = 4
     prefix_len: int = 5  # per view; total prefix = 2*prefix_len (modeling_ensemble.py:474,493)
     mapping_dropout: float = 0.1  # nn.Dropout(p=0.1) in both mapping networks (:440,443)
+    # "mapped" = vision+alignment mapping networks (production);
+    # "promptfuse" = learnable 2-vector prefix ablation (ensemble:458,477-481).
+    prefix_mode: str = "mapped"
 
     # Static batch geometry. text_len covers [CLS] premise [SEP] answer [SEP];
     # img_len covers region features (dataset caps at 50,

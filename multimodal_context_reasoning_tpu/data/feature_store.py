@@ -148,9 +148,11 @@ class _PyReader:
         if hit is None:
             return None
         nr, do = hit
+        # copy: a zero-copy view would pin the mmap open past close()
+        # (the native reader is the zero-copy path)
         return np.frombuffer(
             self._mm, np.float32, count=nr * self.dim, offset=do
-        ).reshape(nr, self.dim)
+        ).reshape(nr, self.dim).copy()
 
     def close(self):
         self._mm.close()

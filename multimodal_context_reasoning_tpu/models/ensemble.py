@@ -1,0 +1,130 @@
+"""Ablation ensemble family — one configurable model instead of 14 classes.
+
+The reference keeps fourteen near-duplicate ensembles
+(modeling/modeling_ensemble.py:45-869: ``dual_ensemble_model``, ``_add``,
+``_pairwise``, ``_doubleloss``, ``_gpt``, ``_clip``, ``ensemble_model_t``,
+``_t1``..``_t4``, ``clip_model``, ``clip_model_r``, ``model_vote``).  They
+all share one computation — score each candidate from a CALeC view and a
+text-LM view, combine, cross-entropy over 4 — and differ only in the
+combine rule and the loss.  Here those degrees of freedom are a config:
+
+- ``fusion``:
+    * ``concat``      — Linear(Dc+Dr → 1) on concatenated CLS vectors
+                        (dual_ensemble_model :45-80)
+    * ``add``         — two per-view Linear(·→1) heads, logits summed
+                        (dual_ensemble_model_add :82-122)
+    * ``logit_add``   — plain sum of externally-computed per-view logits
+                        (ensemble_model_t2 :603-661)
+    * ``learned_add`` — per-view learnable scalar gates on the logits
+                        (ensemble_model_t3 "learned adder" :663-726)
+- ``loss``:
+    * ``ce``          — CrossEntropy over the 4-way logits (all variants)
+    * ``hinge``       — pairwise margin loss: relu(m + p_i − p_gold) summed
+                        (dual_ensemble_model_pairwise :124-181)
+    * ``ce+hinge``    — both (dual_ensemble_model_doubleloss :183-247,
+                        margin 0.5)
+
+``VoteEnsemble`` covers ``model_vote`` (:859-869): a Linear over the
+stacked per-model choice logits.  The CLIP-gated variants (_t1, _clip,
+clip_model*) are intentionally out of scope for now: CLIP's contribution is
+disabled in the production model (modeling_ensemble.py:513-527) and the
+repo's CLIP training data hooks are commented out (SURVEY §2.1 known bugs).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodal_context_reasoning_tpu.models.modcr import soft_cross_entropy
+
+
+class EnsembleOutput(NamedTuple):
+    loss: Optional[jnp.ndarray]
+    logits: jnp.ndarray          # [Q, num_labels]
+
+
+def pairwise_hinge_loss(
+    logits: jnp.ndarray,      # [Q, K]
+    targets: jnp.ndarray,     # [Q, K] multi-hot
+    margin: float = 0.5,
+) -> jnp.ndarray:
+    """relu(margin + p_i − p_gold) summed over all (i, gold) pairs
+    (dual_ensemble_model_doubleloss :218-238 semantics, vectorized)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    gold = jnp.sum(probs * targets, axis=-1, keepdims=True) / jnp.maximum(
+        jnp.sum(targets, axis=-1, keepdims=True), 1.0
+    )
+    return jnp.sum(jax.nn.relu(margin + probs - gold))
+
+
+class CandidateEnsemble(nn.Module):
+    """Combine per-candidate view vectors (or logits) into 4-way logits."""
+
+    num_labels: int = 4
+    fusion: str = "concat"          # concat | add | logit_add | learned_add
+    loss: str = "ce"                # ce | hinge | ce+hinge
+    margin: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self,
+        views: Dict[str, jnp.ndarray],
+        label: Optional[jnp.ndarray] = None,   # [Q*K] multi-hot targets
+    ) -> EnsembleOutput:
+        """``views``: for concat/add — {name: [Q*K, D_name] CLS vectors};
+        for logit_add/learned_add — {name: [Q*K, 1] or [Q, K] logits}."""
+        K = self.num_labels
+        if self.fusion == "concat":
+            x = jnp.concatenate(list(views.values()), axis=-1)
+            logits = nn.Dense(1, name="classifier")(x).reshape(-1, K)
+        elif self.fusion == "add":
+            per = [
+                nn.Dense(1, name=f"classifier_{k}")(v) for k, v in views.items()
+            ]
+            logits = sum(per).reshape(-1, K)
+        elif self.fusion == "logit_add":
+            logits = sum(v.reshape(-1, K) for v in views.values())
+        elif self.fusion == "learned_add":
+            gates = self.param(
+                "view_gates", nn.initializers.ones, (len(views),)
+            )
+            logits = sum(
+                g * v.reshape(-1, K) for g, v in zip(gates, views.values())
+            )
+        else:
+            raise ValueError(f"unknown fusion {self.fusion}")
+
+        loss = None
+        if label is not None:
+            targets = label.reshape(-1, K)
+            loss = jnp.asarray(0.0, jnp.float32)
+            if "ce" in self.loss:
+                loss = loss + soft_cross_entropy(logits, targets)
+            if "hinge" in self.loss:
+                loss = loss + pairwise_hinge_loss(logits, targets, self.margin)
+        return EnsembleOutput(loss=loss, logits=logits)
+
+
+class VoteEnsemble(nn.Module):
+    """model_vote (modeling_ensemble.py:859-869): learned vote over the
+    choice logits of N upstream models."""
+
+    num_labels: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        model_logits: jnp.ndarray,            # [N_models, Q, K]
+        label: Optional[jnp.ndarray] = None,  # [Q, K] multi-hot
+    ) -> EnsembleOutput:
+        N, Q, K = model_logits.shape
+        x = jnp.transpose(model_logits, (1, 2, 0))       # [Q, K, N]
+        logits = nn.Dense(1, name="vote")(x)[..., 0]     # [Q, K]
+        loss = None
+        if label is not None:
+            loss = soft_cross_entropy(logits, label.reshape(Q, K))
+        return EnsembleOutput(loss=loss, logits=logits)

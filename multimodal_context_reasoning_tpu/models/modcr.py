@@ -163,8 +163,20 @@ class ModCRModel(nn.Module):
         )(fused.cls_ensem, deterministic=deterministic)
 
         # --- 3. Prefix-RoBERTa reasoning (ensemble:497-503).
-        prefix_emb = jnp.concatenate([prefix_vision, prefix_align], axis=1)
-        prompt_mask = jnp.ones((N, 2 * c.prefix_len), dtype=jnp.float32)
+        if c.prefix_mode == "promptfuse":
+            # "PromptFuse" ablation: a learnable 2-vector prefix replaces the
+            # mapped vision/alignment vectors (constructed at ensemble:458,
+            # usage sketched in the commented block :477-481).
+            pf = self.param(
+                "promptfuse",
+                nn.initializers.normal(0.02),
+                (2, c.roberta.hidden_size),
+            )
+            prefix_emb = jnp.broadcast_to(pf[None], (N, 2, c.roberta.hidden_size))
+            prompt_mask = jnp.ones((N, 2), dtype=jnp.float32)
+        else:
+            prefix_emb = jnp.concatenate([prefix_vision, prefix_align], axis=1)
+            prompt_mask = jnp.ones((N, 2 * c.prefix_len), dtype=jnp.float32)
         r_out = roberta(
             batch["r_input_ids"], batch["r_attention_mask"],
             token_type_ids=batch.get("r_token_type_ids"),

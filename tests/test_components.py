@@ -1,0 +1,191 @@
+"""Component tests: ensembles, TSV storage, ITM eval, feature store,
+promptfuse prefix, tensorboard fallback."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_context_reasoning_tpu.data.feature_store import (
+    FeatureStore,
+    write_pack,
+)
+from multimodal_context_reasoning_tpu.data.tsv import (
+    TSVFile,
+    concat_tsv_files,
+    reorder_tsv_keys,
+    tsv_writer,
+)
+from multimodal_context_reasoning_tpu.models.ensemble import (
+    CandidateEnsemble,
+    VoteEnsemble,
+    pairwise_hinge_loss,
+)
+from multimodal_context_reasoning_tpu.utils.itm_eval import itm_eval
+
+
+class TestEnsembles:
+    def _views(self, Q=3, K=4):
+        rng = np.random.default_rng(0)
+        label = np.zeros((Q * K,), np.float32)
+        label[:: K] = 1.0
+        return (
+            {
+                "calec": jnp.asarray(rng.normal(size=(Q * K, 8)), jnp.float32),
+                "roberta": jnp.asarray(rng.normal(size=(Q * K, 12)), jnp.float32),
+            },
+            jnp.asarray(label),
+        )
+
+    @pytest.mark.parametrize("fusion", ["concat", "add"])
+    @pytest.mark.parametrize("loss", ["ce", "hinge", "ce+hinge"])
+    def test_vector_fusions(self, fusion, loss):
+        views, label = self._views()
+        model = CandidateEnsemble(fusion=fusion, loss=loss)
+        params = model.init(jax.random.PRNGKey(0), views, label)
+        out = model.apply(params, views, label)
+        assert out.logits.shape == (3, 4)
+        assert np.isfinite(float(out.loss))
+
+    @pytest.mark.parametrize("fusion", ["logit_add", "learned_add"])
+    def test_logit_fusions(self, fusion):
+        rng = np.random.default_rng(1)
+        Q, K = 3, 4
+        views = {
+            "a": jnp.asarray(rng.normal(size=(Q, K)), jnp.float32),
+            "b": jnp.asarray(rng.normal(size=(Q, K)), jnp.float32),
+        }
+        label = np.zeros((Q * K,), np.float32)
+        label[:: K] = 1.0
+        model = CandidateEnsemble(fusion=fusion)
+        params = model.init(jax.random.PRNGKey(0), views, jnp.asarray(label))
+        out = model.apply(params, views, jnp.asarray(label))
+        if fusion == "logit_add":
+            np.testing.assert_allclose(
+                np.asarray(out.logits),
+                np.asarray(views["a"] + views["b"]), rtol=1e-6,
+            )
+        assert np.isfinite(float(out.loss))
+
+    def test_vote(self):
+        rng = np.random.default_rng(2)
+        ml = jnp.asarray(rng.normal(size=(5, 3, 4)), jnp.float32)
+        label = jnp.asarray(np.eye(4)[[0, 1, 2]], jnp.float32)
+        model = VoteEnsemble()
+        params = model.init(jax.random.PRNGKey(0), ml, label)
+        out = model.apply(params, ml, label)
+        assert out.logits.shape == (3, 4)
+        assert np.isfinite(float(out.loss))
+
+    def test_hinge_zero_when_gold_dominates(self):
+        logits = jnp.asarray([[100.0, 0.0, 0.0, 0.0]])
+        targets = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+        # every competitor prob ~0, gold ~1: hinge = sum relu(0.5 + p - 1)
+        # = relu(0.5) for the gold itself -> 0.5; competitors -> 0
+        val = float(pairwise_hinge_loss(logits, targets, margin=0.5))
+        np.testing.assert_allclose(val, 0.5, atol=1e-3)
+
+
+class TestTSV:
+    def test_roundtrip_and_seek(self, tmp_path):
+        path = str(tmp_path / "t.tsv")
+        rows = [["k0", "a", "1"], ["k1", "b", "2"], ["k2", "c", "3"]]
+        tsv_writer(rows, path)
+        f = TSVFile(path)
+        assert len(f) == 3
+        assert f[1] == ["k1", "b", "2"]
+        assert f[0] == ["k0", "a", "1"]
+
+    def test_concat_and_reorder(self, tmp_path):
+        a, b = str(tmp_path / "a.tsv"), str(tmp_path / "b.tsv")
+        tsv_writer([["x", "1"]], a)
+        tsv_writer([["y", "2"]], b)
+        out = str(tmp_path / "c.tsv")
+        concat_tsv_files([a, b], out)
+        f = TSVFile(out)
+        assert [f[i][0] for i in range(len(f))] == ["x", "y"]
+        out2 = str(tmp_path / "d.tsv")
+        reorder_tsv_keys(out, ["y", "x"], out2)
+        f2 = TSVFile(out2)
+        assert [f2[i][0] for i in range(2)] == ["y", "x"]
+
+    def test_lineidx_regenerated(self, tmp_path):
+        path = str(tmp_path / "t.tsv")
+        with open(path, "w") as f:
+            f.write("a\t1\nb\t2\n")
+        f = TSVFile(path)  # no sidecar: generated on demand
+        assert f[1] == ["b", "2"]
+
+
+class TestITMEval:
+    def test_perfect_scores(self):
+        n = 6
+        scores = np.eye(n) * 10 + np.random.default_rng(0).normal(size=(n, n))
+        res = itm_eval(scores, list(range(n)))
+        assert res["txt_r1"] == 1.0 and res["img_r1"] == 1.0
+        assert res["rsum"] == 6.0
+
+    def test_random_scores_bounded(self):
+        rng = np.random.default_rng(1)
+        res = itm_eval(rng.normal(size=(20, 20)), list(range(20)))
+        assert 0.0 <= res["txt_r1"] <= res["txt_r5"] <= res["txt_r10"] <= 1.0
+
+
+class TestFeatureStore:
+    def test_pack_roundtrip_both_readers(self, tmp_path):
+        rng = np.random.default_rng(0)
+        data = {
+            f"img-{i}": rng.normal(size=(4 + i % 5, 16)).astype(np.float32)
+            for i in range(20)
+        }
+        path = str(tmp_path / "f.mcrpack")
+        write_pack(data, path)
+        for prefer in (True, False):
+            fs = FeatureStore(path, prefer_native=prefer)
+            assert len(fs) == 20 and fs.dim == 16
+            got = fs["img-13"]
+            np.testing.assert_array_equal(got.features, data["img-13"])
+            assert got.num_regions == data["img-13"].shape[0]
+            assert "missing" not in fs
+            with pytest.raises(KeyError):
+                fs["missing"]
+            fs.close()
+
+
+class TestPromptfuse:
+    def test_promptfuse_prefix_mode(self):
+        import dataclasses
+
+        from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+        from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+        from tests.test_models import make_batch
+
+        cfg = dataclasses.replace(ModCRConfig.tiny(), prefix_mode="promptfuse")
+        model = ModCRModel(cfg)
+        batch = make_batch(cfg)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        assert "promptfuse" in params["params"]
+        out = model.apply(params, batch)
+        assert out.logits.shape == (2, 4)
+        assert np.isfinite(float(out.loss))
+
+
+class TestTensorboardFallback:
+    def test_jsonl_fallback_or_tb(self, tmp_path):
+        from multimodal_context_reasoning_tpu.utils.metrics import MetricLogger
+        from multimodal_context_reasoning_tpu.utils.tensorboard import (
+            TensorboardLogger,
+        )
+
+        tb = TensorboardLogger(str(tmp_path / "tb"))
+        m = MetricLogger()
+        m.update(loss=1.0, acc=0.5)
+        tb.log_meters(m, step=1)
+        tb.log_scalar("lr", 1e-4, step=1)
+        tb.close()
+        # either real TB event files or the JSONL fallback must exist
+        import glob
+
+        files = glob.glob(str(tmp_path / "tb" / "**" / "*"), recursive=True)
+        assert files
