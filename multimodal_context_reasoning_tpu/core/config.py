@@ -126,6 +126,9 @@ class RobertaConfig:
     pad_token_id: int = 1  # roberta convention; position ids offset from it
     dtype: str = "float32"
     use_pallas: bool = False  # see EncoderConfig.use_pallas
+    # jax.checkpoint each layer in the backward pass (trades ~30% more
+    # FLOPs for O(1) activation memory across the 24-layer tower).
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -186,6 +189,10 @@ class ModCRConfig:
     # "mapped" = vision+alignment mapping networks (production);
     # "promptfuse" = learnable 2-vector prefix ablation (ensemble:458,477-481).
     prefix_mode: str = "mapped"
+    # False = the "_wo_chual" ablation (v10.py:1252-1316): drop the ChunkAlign
+    # sequence encoder; the fusion consumes the global encoder's views and
+    # the alignment loss vanishes.
+    use_seq_encoder: bool = True
 
     # Static batch geometry. text_len covers [CLS] premise [SEP] answer [SEP];
     # img_len covers region features (dataset caps at 50,

@@ -26,6 +26,7 @@ class RawExample:
     answer_label: Optional[object]    # int, or list of ints (PMR multi-label)
     answer_types: Optional[List[int]] = None
     objects: Optional[List[str]] = None
+    rationale: Optional[str] = None   # gold explanation (gpt-stream datasets)
 
 
 @dataclasses.dataclass

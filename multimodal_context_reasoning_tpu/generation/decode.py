@@ -81,3 +81,85 @@ def greedy_decode(
     tokens = jnp.transpose(toks, (1, 0))                       # [B, max_len]
     lengths = jnp.sum((tokens != pad_id).astype(jnp.int32), axis=-1)
     return tokens, lengths
+
+
+def top_k_top_p_filter(
+    logits: jnp.ndarray, top_k: int = 0, top_p: float = 1.0
+) -> jnp.ndarray:
+    """HF ``top_k_top_p_filtering`` semantics (reference
+    modeling/modeling_utils.py:1046-1090): keep the top-k logits and/or the
+    smallest prefix of the sorted distribution whose cumulative probability
+    exceeds ``top_p``; everything else → -inf.  Static-shape, jit-safe."""
+    neg = jnp.asarray(-1e9, logits.dtype)
+    if top_k > 0 and top_k < logits.shape[-1]:
+        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        logits = jnp.where(logits < kth, neg, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always keep #1)
+        cutoff_mask = cum - jax.nn.softmax(sorted_logits, axis=-1) > top_p
+        cutoff = jnp.where(cutoff_mask, neg, sorted_logits)
+        threshold = jnp.min(
+            jnp.where(cutoff_mask, jnp.asarray(jnp.inf, logits.dtype), sorted_logits),
+            axis=-1, keepdims=True,
+        )
+        logits = jnp.where(logits < threshold, neg, logits)
+    return logits
+
+
+def sample_decode(
+    model: GPT2Decoder,
+    params,
+    prompt_ids: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    *,
+    rng: jax.Array,
+    memory: Optional[jnp.ndarray] = None,
+    memory_mask: Optional[jnp.ndarray] = None,
+    max_len: int = 50,
+    eos_id: int = 50256,
+    pad_id: int = 0,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ancestral sampling with temperature + top-k/top-p warps — the
+    no-beam-search sampling branch of the legacy caption engine
+    (modeling/modeling_utils.py:263-589)."""
+    B, Lp = prompt_ids.shape
+    cache = KVCache.zeros(model.config, B, Lp + max_len)
+    logits, cache = model.apply(
+        params, prompt_ids, memory=memory, memory_mask=memory_mask,
+        cache=cache, cache_index=jnp.int32(0), deterministic=True,
+    )
+    last = jnp.take_along_axis(logits, (prompt_len - 1)[:, None, None], axis=1)[:, 0]
+
+    def pick(rng, lg):
+        lg = lg.astype(jnp.float32) / max(temperature, 1e-6)
+        lg = top_k_top_p_filter(lg, top_k, top_p)
+        return jax.random.categorical(rng, lg, axis=-1).astype(jnp.int32)
+
+    rng, sub = jax.random.split(rng)
+    first_tok = pick(sub, last)
+
+    def step(carry, t):
+        cache, tok, done, rng = carry
+        logits, cache = model.apply(
+            params, tok[:, None],
+            position_offset=prompt_len,
+            memory=memory, memory_mask=memory_mask,
+            cache=cache, cache_index=Lp + t, deterministic=True,
+        )
+        rng, sub = jax.random.split(rng)
+        nxt = pick(sub, logits[:, 0])
+        out_tok = jnp.where(done, pad_id, tok)
+        done = done | (tok == eos_id)
+        return (cache, nxt, done, rng), out_tok
+
+    (_, _, _, _), toks = jax.lax.scan(
+        step, (cache, first_tok, jnp.zeros((B,), bool), rng), jnp.arange(max_len)
+    )
+    tokens = jnp.transpose(toks, (1, 0))
+    lengths = jnp.sum((tokens != pad_id).astype(jnp.int32), axis=-1)
+    return tokens, lengths

@@ -41,6 +41,11 @@ class ClsLayerLyx(nn.Module):
 
     config: EncoderConfig
     num_heads: int = 8
+    # cross_attention_lyx's exotic knobs (v10.py:732-760): softmax
+    # temperature, inverted attention (1 − softmax), additive prior on the
+    # probabilities.  Production path uses the defaults (v10.py:857).
+    tau: float = 1.0
+    neg_type: bool = False
 
     @nn.compact
     def __call__(
@@ -48,6 +53,7 @@ class ClsLayerLyx(nn.Module):
         memory: jnp.ndarray,                   # [B, M, D]
         cls: jnp.ndarray,                      # [B, D]
         memory_bias: Optional[jnp.ndarray],    # [B, 1, 1, M] additive or None
+        prior_score: Optional[jnp.ndarray] = None,   # [B, 1, M] added to probs
         *,
         deterministic: bool = True,
     ) -> jnp.ndarray:
@@ -64,15 +70,34 @@ class ClsLayerLyx(nn.Module):
         attn_drop = 0.1  # cross_attention_lyx(dropout=0.1), v10.py:848
         if not deterministic:
             rng = self.make_rng("dropout")
-        out, _ = dot_product_attention(
-            q.reshape(B, 1, self.num_heads, Dh),
-            k.reshape(B, M, self.num_heads, Dh),
-            v.reshape(B, M, self.num_heads, Dh),
-            memory_bias,
-            dropout_rate=attn_drop,
-            dropout_rng=rng,
-            deterministic=deterministic,
-        )
+        if self.tau != 1.0 or self.neg_type or prior_score is not None:
+            # explicit path for the exotic options
+            qh = q.reshape(B, 1, self.num_heads, Dh)
+            kh = k.reshape(B, M, self.num_heads, Dh)
+            vh = v.reshape(B, M, self.num_heads, Dh)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
+            scores = scores / (Dh ** 0.5)
+            if memory_bias is not None:
+                scores = scores + memory_bias.astype(jnp.float32)
+            probs = jax.nn.softmax(scores / self.tau, axis=-1)
+            if self.neg_type:
+                probs = 1.0 - probs                       # v10.py:753-755
+            if prior_score is not None:
+                probs = probs + prior_score[:, None].astype(jnp.float32)
+            if not deterministic and attn_drop > 0:
+                keep = jax.random.bernoulli(rng, 1.0 - attn_drop, probs.shape)
+                probs = jnp.where(keep, probs / (1.0 - attn_drop), 0.0)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(vh.dtype), vh)
+        else:
+            out, _ = dot_product_attention(
+                q.reshape(B, 1, self.num_heads, Dh),
+                k.reshape(B, M, self.num_heads, Dh),
+                v.reshape(B, M, self.num_heads, Dh),
+                memory_bias,
+                dropout_rate=attn_drop,
+                dropout_rng=rng,
+                deterministic=deterministic,
+            )
         out = nn.Dense(D, dtype=dt, name="out_proj")(out.reshape(B, 1, D))[:, 0]
 
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)

@@ -141,20 +141,37 @@ class ModCRModel(nn.Module):
             chunk_mask = chunk_mask_from_gather_index(
                 batch["gather_index"], text_mask
             )
-        s_out = seq_enc(
-            input_ids, img_feat, text_mask, img_mask,
-            chunk_mask, batch["gather_index"], c.max_chunks,
-            token_type_ids=batch.get("token_type_ids"),
-            deterministic=deterministic,
-        )
+        if c.use_seq_encoder:
+            s_out = seq_enc(
+                input_ids, img_feat, text_mask, img_mask,
+                chunk_mask, batch["gather_index"], c.max_chunks,
+                token_type_ids=batch.get("token_type_ids"),
+                deterministic=deterministic,
+            )
+            seq_views = (s_out.sequence, s_out.pooled, s_out.chunk_hidden,
+                         s_out.attn_probs)
+            align_inputs = dict(
+                align_pos=batch.get("align_pos"),
+                total_label=batch.get("total_label"),
+            )
+        else:
+            # "_wo_chual" ablation: the global encoder stands in for every
+            # chunk-align view; no alignment supervision exists.
+            L = g_out.sequence.shape[1]
+            zeros_attn = jnp.zeros(
+                (N, 3, c.global_encoder.num_attention_heads, L, L),
+                g_out.sequence.dtype,
+            )
+            seq_views = (g_out.sequence, g_out.pooled, g_out.sequence,
+                         zeros_attn)
+            align_inputs = dict(align_pos=None, total_label=None)
         fused = fusion(
             stop(g_out.sequence), stop(g_out.pooled),
-            stop(s_out.sequence), stop(s_out.pooled),
-            stop(s_out.chunk_hidden), stop(s_out.attn_probs),
+            stop(seq_views[0]), stop(seq_views[1]),
+            stop(seq_views[2]), stop(seq_views[3]),
             text_mask, T,
-            align_pos=batch.get("align_pos"),
-            total_label=batch.get("total_label"),
             deterministic=deterministic,
+            **align_inputs,
         )
         prefix_align = MappingNetwork(
             c.global_encoder.hidden_size, c.roberta.hidden_size, c.prefix_len,

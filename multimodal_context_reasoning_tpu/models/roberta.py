@@ -97,11 +97,27 @@ class PrefixRoberta(nn.Module):
         else:
             bias = token_bias[:, None, None, :]
 
-        for i in range(c.num_hidden_layers):
-            h, _ = TransformerLayer(ec, name=f"layer_{i}")(
-                h, bias,
-                prefix_kv=prompt_embeddings,
-                deterministic=deterministic,
-            )
+        if c.remat:
+            # Rematerialize each layer's activations in the backward pass —
+            # this is the trainable tower (the encoders are frozen), so it
+            # is where jax.checkpoint buys training memory for batch size.
+            def run_layer(layer, h, bias, pkv):
+                return layer(
+                    h, bias, prefix_kv=pkv, deterministic=deterministic
+                )[0]
+
+            run_layer = nn.remat(run_layer, prevent_cse=False)
+            for i in range(c.num_hidden_layers):
+                h = run_layer(
+                    TransformerLayer(ec, name=f"layer_{i}"),
+                    h, bias, prompt_embeddings,
+                )
+        else:
+            for i in range(c.num_hidden_layers):
+                h, _ = TransformerLayer(ec, name=f"layer_{i}")(
+                    h, bias,
+                    prefix_kv=prompt_embeddings,
+                    deterministic=deterministic,
+                )
         pooled = Pooler(c.hidden_size, dtype=c.jnp_dtype, name="pooler")(h)
         return RobertaOutput(sequence=h, pooled=pooled)
