@@ -69,7 +69,21 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="cap the number of examples (debug)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config for smoke tests / CI")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                        "(DCN) runs; single-host/TPU-pod-slice jobs where "
+                        "JAX auto-detects do not need it")
     return p
+
+
+def maybe_init_distributed(args) -> None:
+    """Multi-host bootstrap — the TPU-native replacement for the
+    reference's NCCL env-init dance (run_PMR_ModCR.py:423-448): one call,
+    after which the same pjit program spans all hosts over DCN."""
+    if getattr(args, "multihost", False):
+        import jax
+
+        jax.distributed.initialize()
 
 
 def configs_from_args(args) -> tuple[ModCRConfig, TrainConfig]:

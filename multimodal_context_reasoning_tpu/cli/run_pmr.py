@@ -57,6 +57,9 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
         LOAD_FN = load_fn
 
     args = build_arg_parser(task).parse_args(argv)
+    from multimodal_context_reasoning_tpu.cli.common import maybe_init_distributed
+
+    maybe_init_distributed(args)
     mkdir(args.output_dir)
     logger = setup_logger(f"modcr.{task}", args.output_dir)
     set_seed(args.seed)

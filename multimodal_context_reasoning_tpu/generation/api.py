@@ -1,0 +1,75 @@
+"""Unified generation front-end.
+
+Capability parity with the legacy caption engine's ``generate`` dispatcher
+(modeling/modeling_utils.py:44-242: greedy / sampling / beam branches behind
+one call) over the framework's jitted decoders.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_context_reasoning_tpu.generation.beam import (
+    constrained_beam_sample,
+)
+from multimodal_context_reasoning_tpu.generation.decode import (
+    greedy_decode,
+    sample_decode,
+)
+from multimodal_context_reasoning_tpu.models.gpt2 import GPT2Decoder
+
+
+def generate(
+    model: GPT2Decoder,
+    params,
+    prompt_ids: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    *,
+    mode: str = "greedy",            # greedy | sample | beam
+    memory: Optional[jnp.ndarray] = None,
+    memory_mask: Optional[jnp.ndarray] = None,
+    max_len: int = 50,
+    eos_id: int = 50256,
+    pad_id: int = 0,
+    rng: Optional[jax.Array] = None,
+    # sampling
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    # beam
+    num_beams: int = 5,
+    constraint_mask: Optional[jnp.ndarray] = None,
+    constraint_factor: float = 0.8,
+    repetition_penalty: float = 1.0,
+    length_penalty: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens [B, max_len], lengths [B])."""
+    common = dict(
+        memory=memory, memory_mask=memory_mask,
+        max_len=max_len, eos_id=eos_id, pad_id=pad_id,
+    )
+    if mode == "greedy":
+        return greedy_decode(model, params, prompt_ids, prompt_len, **common)
+    if mode == "sample":
+        if rng is None:
+            raise ValueError("mode='sample' requires rng")
+        return sample_decode(
+            model, params, prompt_ids, prompt_len, rng=rng,
+            temperature=temperature, top_k=top_k, top_p=top_p, **common,
+        )
+    if mode == "beam":
+        if rng is None:
+            raise ValueError("mode='beam' requires rng (beam *sampling*)")
+        common.pop("max_len")
+        return constrained_beam_sample(
+            model, params, prompt_ids, prompt_len, rng=rng,
+            num_beams=num_beams, max_steps=max_len,
+            constraint_mask=constraint_mask,
+            constraint_factor=constraint_factor,
+            repetition_penalty=repetition_penalty, top_k=top_k or 50,
+            length_penalty=length_penalty, **common,
+        )
+    raise ValueError(f"unknown mode {mode!r}")
