@@ -26,3 +26,24 @@ from multimodal_context_reasoning_tpu.core.config import (  # noqa: F401
     RobertaConfig,
     ModCRConfig,
 )
+from multimodal_context_reasoning_tpu.models.gpt2 import GPT2Decoder, KVCache  # noqa: F401
+from multimodal_context_reasoning_tpu.models.rationale import (  # noqa: F401
+    RationaleModel,
+    binary_to_mp,
+)
+from multimodal_context_reasoning_tpu.models.ensemble import (  # noqa: F401
+    CandidateEnsemble,
+    DualEnsembleModel,
+    VoteEnsemble,
+)
+from multimodal_context_reasoning_tpu.generation.api import generate  # noqa: F401
+from multimodal_context_reasoning_tpu.parallel.mesh import make_mesh  # noqa: F401
+from multimodal_context_reasoning_tpu.train.trainer import Trainer  # noqa: F401
+from multimodal_context_reasoning_tpu.train.step import (  # noqa: F401
+    make_eval_step,
+    make_train_step,
+)
+from multimodal_context_reasoning_tpu.data.feature_store import (  # noqa: F401
+    FeatureStore,
+    write_pack,
+)

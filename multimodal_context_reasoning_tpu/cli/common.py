@@ -69,6 +69,12 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="cap the number of examples (debug)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config for smoke tests / CI")
+    p.add_argument("--skip_alignment_loss", action="store_true",
+                   help="drop the (never-optimized) CALeC alignment loss "
+                        "from the train graph: ~2x train memory headroom "
+                        "(see BENCHMARKS.md)")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the RoBERTa tower (memory for FLOPs)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host "
                         "(DCN) runs; single-host/TPU-pod-slice jobs where "
@@ -87,6 +93,8 @@ def maybe_init_distributed(args) -> None:
 
 
 def configs_from_args(args) -> tuple[ModCRConfig, TrainConfig]:
+    import dataclasses
+
     if getattr(args, "tiny", False):
         cfg = ModCRConfig.tiny()
     else:
@@ -94,6 +102,12 @@ def configs_from_args(args) -> tuple[ModCRConfig, TrainConfig]:
             text_len=min(args.max_seq_length, 140),
             img_len=args.max_img_seq_length,
         ).with_dtype(args.compute_dtype)
+    if getattr(args, "skip_alignment_loss", False):
+        cfg = dataclasses.replace(cfg, compute_alignment=False)
+    if getattr(args, "remat", False):
+        cfg = dataclasses.replace(
+            cfg, roberta=dataclasses.replace(cfg.roberta, remat=True)
+        )
     tcfg = TrainConfig(
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,
@@ -131,9 +145,27 @@ def load_tokenizers(args, cfg: ModCRConfig):
     return bert, rob
 
 
-def load_image_features(path: str, img_feature_dim: int) -> Dict[str, ImageFeatures]:
-    """Reference feature pickle: {img-id: {'features': tensor [N, 2054],
-    'img_mask': ...}} (Data/VCRChunkAlign.py:586-592, 806-812)."""
+def load_image_features(path: str, img_feature_dim: int):
+    """Image-feature source:
+
+    - ``*.mcrpack`` — the native indexed mmap store (zero-copy C++ reader,
+      data/feature_store.py); preferred for production.
+    - otherwise a reference-format pickle: {img-id: {'features': [N, 2054],
+      'img_mask': ...}} (Data/VCRChunkAlign.py:586-592, 806-812), loaded
+      whole into RAM like the reference does.
+    """
+    if path.endswith(".mcrpack"):
+        from multimodal_context_reasoning_tpu.data.feature_store import (
+            FeatureStore,
+        )
+
+        fs = FeatureStore(path)
+        if fs.dim != img_feature_dim:
+            raise ValueError(
+                f"{path}: feature dim {fs.dim} != expected {img_feature_dim}"
+            )
+        return fs
+
     out: Dict[str, ImageFeatures] = {}
     with open(path, "rb") as f:
         raw = pickle.load(f)

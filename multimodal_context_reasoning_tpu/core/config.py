@@ -193,6 +193,13 @@ class ModCRConfig:
     # sequence encoder; the fusion consumes the global encoder's views and
     # the alignment loss vanishes.
     use_seq_encoder: bool = True
+    # Compute the CALeC attention-alignment loss. It requires materializing
+    # three full [B, H, L, L] attention maps — the single largest HBM
+    # tensor in the forward — and the production trainer does not optimize
+    # it (loss = cls_loss alone, run_PMR_ModCR.py:204-208). False skips it
+    # (inference / production training); True keeps it for diagnostics and
+    # exact aux-output parity.
+    compute_alignment: bool = True
 
     # Static batch geometry. text_len covers [CLS] premise [SEP] answer [SEP];
     # img_len covers region features (dataset caps at 50,

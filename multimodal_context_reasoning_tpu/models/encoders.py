@@ -143,6 +143,7 @@ class ChunkAlignEncoder(nn.Module):
         position_ids: Optional[jnp.ndarray] = None,
         *,
         deterministic: bool = True,
+        output_attentions: bool = True,
     ) -> EncoderOutput:
         c = self.config
         s = self.schedule
@@ -186,10 +187,11 @@ class ChunkAlignEncoder(nn.Module):
                 chunk_query_index=cq,
                 num_chunks=num_chunks,
                 deterministic=deterministic,
-                return_probs=is_cross,
+                return_probs=is_cross and output_attentions,
             )
             if is_cross:
-                probs_cross.append(probs)
+                if probs is not None:
+                    probs_cross.append(probs)
                 if s.add_local_residual:
                     # v10.py:212-215 — extra residual in the cross phase.
                     out = out + h
@@ -202,6 +204,6 @@ class ChunkAlignEncoder(nn.Module):
         return EncoderOutput(
             sequence=h,
             pooled=pooled,
-            attn_probs=jnp.stack(probs_cross, axis=1),
+            attn_probs=jnp.stack(probs_cross, axis=1) if probs_cross else None,
             chunk_hidden=chunk_hidden,
         )

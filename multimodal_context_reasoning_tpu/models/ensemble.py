@@ -128,3 +128,79 @@ class VoteEnsemble(nn.Module):
         if label is not None:
             loss = soft_cross_entropy(logits, label.reshape(Q, K))
         return EnsembleOutput(loss=loss, logits=logits)
+
+
+class DualEnsembleModel(nn.Module):
+    """Runnable CALeC + RoBERTa ensemble (dual_ensemble_model family,
+    modeling_ensemble.py:45-247).
+
+    Unlike the production :class:`~multimodal_context_reasoning_tpu.models.
+    modcr.ModCRModel`, the reasoner here sees NO prefix — the two views are
+    fused only at the CLS level through :class:`CandidateEnsemble`.  The
+    batch schema is the same candidate-expanded dict.
+    """
+
+    config: "ModCRConfig"  # forward ref: core.config.ModCRConfig
+    fusion: str = "concat"
+    loss: str = "ce"
+
+    @nn.compact
+    def __call__(self, batch, *, deterministic: bool = True):
+        import jax.numpy as jnp
+
+        from multimodal_context_reasoning_tpu.models.encoders import (
+            ChunkAlignEncoder,
+            GlobalImageEncoder,
+        )
+        from multimodal_context_reasoning_tpu.models.fusion import (
+            ChunkAlignFusion,
+        )
+        from multimodal_context_reasoning_tpu.models.roberta import (
+            PrefixRoberta,
+        )
+        from multimodal_context_reasoning_tpu.ops.chunk import (
+            chunk_mask_from_gather_index,
+        )
+
+        c = self.config
+        input_ids = batch["input_ids"]
+        text_mask = batch["text_mask"]
+        img_feat = batch["img_feat"]
+        img_mask = batch["img_mask"]
+        T = input_ids.shape[1]
+
+        full_mask = jnp.concatenate([text_mask, img_mask], axis=-1)
+        g = GlobalImageEncoder(c.global_encoder, name="global_enc")(
+            input_ids, img_feat, full_mask,
+            token_type_ids=batch.get("token_type_ids"),
+            deterministic=deterministic,
+        )
+        chunk_mask = batch.get("chunk_mask")
+        if chunk_mask is None:
+            chunk_mask = chunk_mask_from_gather_index(
+                batch["gather_index"], text_mask
+            )
+        s = ChunkAlignEncoder(c.seq_encoder, c.chunkalign, name="seq_enc")(
+            input_ids, img_feat, text_mask, img_mask,
+            chunk_mask, batch["gather_index"], c.max_chunks,
+            token_type_ids=batch.get("token_type_ids"),
+            deterministic=deterministic,
+        )
+        fused = ChunkAlignFusion(c.global_encoder, c.chunkalign, name="fusion")(
+            g.sequence, g.pooled, s.sequence, s.pooled, s.chunk_hidden,
+            s.attn_probs, text_mask, T,
+            align_pos=batch.get("align_pos"),
+            total_label=batch.get("total_label"),
+            deterministic=deterministic,
+        )
+        r = PrefixRoberta(c.roberta, name="roberta")(
+            batch["r_input_ids"], batch["r_attention_mask"],
+            token_type_ids=batch.get("r_token_type_ids"),
+            deterministic=deterministic,
+        )
+        out = CandidateEnsemble(
+            num_labels=c.num_labels, fusion=self.fusion, loss=self.loss,
+            name="ensemble",
+        )({"calec": fused.cls_ensem, "roberta": r.pooled},
+          batch.get("label"))
+        return out, fused.align_loss

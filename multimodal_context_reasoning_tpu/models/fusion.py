@@ -123,7 +123,11 @@ class ChunkAlignFusion(nn.Module):
         seq_seq: jnp.ndarray,           # [B, T+I, D] chunk-align sequence
         seq_cls: jnp.ndarray,           # [B, D] chunk-align pooled CLS
         chunk_hidden: jnp.ndarray,      # [B, T+I, D] pre-cross-modal hiddens
-        seq_attn_probs: jnp.ndarray,    # [B, 3, H, L, L] cross-modal attn maps
+        seq_attn_probs: Optional[jnp.ndarray],  # [B, 3, H, L, L] or None
+                                        # (None skips the alignment loss —
+                                        # the 3 full attention maps are the
+                                        # single largest HBM tensor in the
+                                        # forward; see ModCRConfig.compute_alignment)
         text_mask: jnp.ndarray,         # [B, T]
         text_len: int,
         align_pos: Optional[jnp.ndarray] = None,   # [B, T] {0,1}
@@ -158,6 +162,15 @@ class ChunkAlignFusion(nn.Module):
             cls_ensem = ClsLayerLyx(
                 c, self.schedule.cls_num_heads, name=f"cls_layer_{i}"
             )(memory, cls_ensem, memory_bias, deterministic=deterministic)
+
+        if seq_attn_probs is None:
+            B = global_seq.shape[0]
+            I = global_seq.shape[1] - T
+            return FusionOutput(
+                cls_ensem,
+                jnp.asarray(0.0, jnp.float32),
+                jnp.zeros((B, T, I), jnp.float32),
+            )
 
         # Alignment loss (v10.py:981-987): sum the last three cross-modal
         # layers' attention maps over layers and heads, take text→image block,

@@ -147,6 +147,7 @@ class ModCRModel(nn.Module):
                 chunk_mask, batch["gather_index"], c.max_chunks,
                 token_type_ids=batch.get("token_type_ids"),
                 deterministic=deterministic,
+                output_attentions=c.compute_alignment,
             )
             seq_views = (s_out.sequence, s_out.pooled, s_out.chunk_hidden,
                          s_out.attn_probs)
@@ -157,13 +158,7 @@ class ModCRModel(nn.Module):
         else:
             # "_wo_chual" ablation: the global encoder stands in for every
             # chunk-align view; no alignment supervision exists.
-            L = g_out.sequence.shape[1]
-            zeros_attn = jnp.zeros(
-                (N, 3, c.global_encoder.num_attention_heads, L, L),
-                g_out.sequence.dtype,
-            )
-            seq_views = (g_out.sequence, g_out.pooled, g_out.sequence,
-                         zeros_attn)
+            seq_views = (g_out.sequence, g_out.pooled, g_out.sequence, None)
             align_inputs = dict(align_pos=None, total_label=None)
         fused = fusion(
             stop(g_out.sequence), stop(g_out.pooled),

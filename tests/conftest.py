@@ -42,3 +42,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "float32")
+# Persistent compile cache: the suite jits dozens of tiny programs; caching
+# them across runs cuts repeat wall time substantially.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("MODCR_TEST_CACHE", "/tmp/modcr_test_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
