@@ -1,0 +1,95 @@
+"""Serving entry point.
+
+    python -m multimodal_context_reasoning_tpu.cli.serve \
+        --img_feat_file feats.mcrpack --eval_model_dir output/pmr --port 8477
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8477)
+    p.add_argument("--img_feat_file", required=True)
+    p.add_argument("--eval_model_dir", default="")
+    p.add_argument("--bert_tokenizer_dir", default="")
+    p.add_argument("--roberta_tokenizer_dir", default="")
+    p.add_argument("--micro_batch", type=int, default=8)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=("float32", "bfloat16"))
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+
+    from multimodal_context_reasoning_tpu.cli.common import (
+        load_image_features,
+        load_tokenizers,
+    )
+    from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+    from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+    from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
+    from multimodal_context_reasoning_tpu.serving.server import serve
+
+    cfg = (ModCRConfig.tiny() if args.tiny
+           else ModCRConfig().with_dtype(args.compute_dtype))
+    feats = load_image_features(
+        args.img_feat_file, cfg.global_encoder.img_feature_dim
+    )
+    bert, rob = load_tokenizers(args, cfg)
+
+    model = ModCRModel(cfg)
+    import jax.numpy as jnp
+
+    from multimodal_context_reasoning_tpu.data.collate import (
+        BatchSpec,
+        collate_candidates,
+    )
+    from multimodal_context_reasoning_tpu.data.pmr import PMRDataset
+    from multimodal_context_reasoning_tpu.data.schemas import RawExample
+    from multimodal_context_reasoning_tpu.serving.scorer import iter_keys
+
+    # init params (random), then restore a checkpoint when provided
+    spec = BatchSpec(
+        text_len=cfg.text_len, img_len=cfg.img_len,
+        roberta_len=cfg.roberta_len,
+        img_feature_dim=cfg.global_encoder.img_feature_dim,
+    )
+    ds = PMRDataset([], feats, bert, rob, spec=spec, max_chunks=cfg.max_chunks)
+    first_key = next(iter_keys(feats))
+    warm_ex = RawExample("w", first_key, "warm .", ["a ."] * cfg.num_labels, 0)
+    batch = collate_candidates(
+        [ds.featurize(warm_ex)], [ds.get_image(warm_ex)], spec
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in batch.items()}
+    )
+    if args.eval_model_dir:
+        import os
+
+        from multimodal_context_reasoning_tpu.core.config import TrainConfig
+        from multimodal_context_reasoning_tpu.train.checkpoint import (
+            CheckpointManager,
+        )
+        from multimodal_context_reasoning_tpu.train.optim import make_optimizer
+        from multimodal_context_reasoning_tpu.train.state import TrainState
+
+        tx = make_optimizer(TrainConfig(), 1, params)
+        state = CheckpointManager(
+            os.path.join(args.eval_model_dir, "ckpt")
+        ).restore(TrainState.create(params, tx))
+        params = state.params
+
+    scorer = ModCRScorer(
+        cfg, params, bert, rob, feats, micro_batch=args.micro_batch
+    )
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(micro_batch={args.micro_batch})", flush=True)
+    serve(scorer, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

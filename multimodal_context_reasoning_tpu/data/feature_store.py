@@ -101,6 +101,10 @@ class _NativeReader:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32,
             ctypes.POINTER(ctypes.c_uint32),
         ]
+        lib.mcr_key_at.restype = ctypes.c_void_p
+        lib.mcr_key_at.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+        ]
         self._lib = lib
         self._h = lib.mcr_open(path.encode())
         if not self._h:
@@ -117,6 +121,13 @@ class _NativeReader:
             return None
         # zero-copy view into the mapping
         return np.ctypeslib.as_array(ptr, shape=(int(n.value), self.dim))
+
+    def keys(self):
+        ln = ctypes.c_uint32(0)
+        for i in range(self.count):
+            ptr = self._lib.mcr_key_at(self._h, i, ctypes.byref(ln))
+            if ptr:
+                yield ctypes.string_at(ptr, ln.value).decode()
 
     def close(self):
         if self._h:
@@ -142,6 +153,9 @@ class _PyReader:
             key = self._mm[ko:ko + kl].decode()
             self._index[key] = (nr, do)
             off += _ENTRY.size
+
+    def keys(self):
+        return iter(self._index)
 
     def lookup(self, key: str) -> Optional[np.ndarray]:
         hit = self._index.get(key)
@@ -170,6 +184,9 @@ class FeatureStore:
     @property
     def dim(self) -> int:
         return self._reader.dim
+
+    def keys(self):
+        return self._reader.keys()
 
     def __len__(self) -> int:
         return self._reader.count

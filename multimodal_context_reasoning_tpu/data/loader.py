@@ -38,19 +38,41 @@ class DataLoader:
         seed: int = 88,
         drop_last: bool = False,
         prefetch: bool = True,
+        shard: Optional[tuple] = None,   # (process_index, process_count)
     ):
         if batch_size <= 0:
             raise ValueError("batch_size must be positive")
+        if shard is not None:
+            idx, count = shard
+            if not (0 <= idx < count):
+                raise ValueError(f"bad shard {shard}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.shard = shard
         self.epoch = 0
 
-    def __len__(self) -> int:
+    def _order(self) -> np.ndarray:
+        """Global example order for this epoch, sliced to this host's shard.
+
+        Every host shuffles with the same seed and takes a strided slice —
+        disjoint coverage with no coordination, the multi-host input recipe
+        the single-process reference has no analogue of."""
         n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        if self.shard is not None:
+            idx, count = self.shard
+            order = order[idx::count]
+        return order
+
+    def __len__(self) -> int:
+        n = len(self._order())
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -59,11 +81,8 @@ class DataLoader:
         self.epoch = epoch
 
     def _index_batches(self):
-        n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
-            rng.shuffle(order)
+        order = self._order()
+        n = len(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for start in range(0, stop, self.batch_size):
             yield order[start:start + self.batch_size]

@@ -1,0 +1,106 @@
+"""Compiled online scorer.
+
+Wraps a ModCR model + params + featurizer into a fixed-shape scoring
+function: requests are padded to a static micro-batch so the jitted program
+compiles exactly once (AOT-warmed at construction), then every request is
+one device call.  The reference has no serving story — its only inference
+path is the offline ``test()`` loop (run_PMR_ModCR.py:283-353).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+from multimodal_context_reasoning_tpu.data.collate import BatchSpec, collate_candidates
+from multimodal_context_reasoning_tpu.data.pmr import PMRDataset
+from multimodal_context_reasoning_tpu.data.schemas import ImageFeatures, RawExample
+from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+
+
+class ModCRScorer:
+    def __init__(
+        self,
+        config: ModCRConfig,
+        params,
+        bert_tokenizer,
+        roberta_tokenizer,
+        image_features,                 # mapping img_id -> ImageFeatures
+        *,
+        micro_batch: int = 8,           # examples per device call
+        warm: bool = True,
+    ):
+        self.config = config
+        self.params = params
+        self.micro_batch = micro_batch
+        self.features = image_features
+        spec = BatchSpec(
+            text_len=config.text_len, img_len=config.img_len,
+            roberta_len=config.roberta_len, num_labels=config.num_labels,
+            img_feature_dim=config.global_encoder.img_feature_dim,
+        )
+        self._ds = PMRDataset(
+            [], image_features, bert_tokenizer, roberta_tokenizer,
+            spec=spec, max_chunks=config.max_chunks,
+        )
+        model = ModCRModel(config)
+        self._fwd = jax.jit(
+            lambda p, b: model.apply(p, b, deterministic=True).logits
+        )
+        if warm:
+            self._warmup()
+
+    def _warmup(self) -> None:
+        ex = RawExample(
+            example_id="warm", img_id=next(iter_keys(self.features)),
+            premise="warm up .",
+            answer_choices=["a ."] * self.config.num_labels,
+            answer_label=0,
+        )
+        self.score([ex])
+
+    def _batch(self, examples: Sequence[RawExample]) -> Dict[str, np.ndarray]:
+        cands = [self._ds.featurize(ex) for ex in examples]
+        imgs = [self._ds.get_image(ex) for ex in examples]
+        return collate_candidates(cands, imgs, self._ds.spec)
+
+    def score(self, examples: Sequence[RawExample]) -> List[Dict]:
+        """Score any number of examples; internally chunks to the static
+        micro-batch (last chunk padded by repetition)."""
+        out: List[Dict] = []
+        mb = self.micro_batch
+        for start in range(0, len(examples), mb):
+            chunk = list(examples[start:start + mb])
+            real = len(chunk)
+            while len(chunk) < mb:
+                chunk.append(chunk[-1])
+            batch = self._batch(chunk)
+            batch.pop("label", None)
+            logits = np.asarray(
+                self._fwd(self.params, {k: jnp.asarray(v) for k, v in batch.items()}),
+                np.float32,
+            )[:real]
+            probs = np.exp(logits - logits.max(-1, keepdims=True))
+            probs = probs / probs.sum(-1, keepdims=True)
+            for ex, lg, pr in zip(chunk[:real], logits, probs):
+                out.append({
+                    "example_id": ex.example_id,
+                    "prediction": int(np.argmax(lg)),
+                    "logits": [float(x) for x in lg],
+                    "probs": [float(x) for x in pr],
+                })
+        return out
+
+
+def iter_keys(mapping) -> "iter":
+    """Iterate keys of either a dict or a FeatureStore."""
+    if hasattr(mapping, "keys"):
+        return iter(mapping.keys())
+    reader = getattr(mapping, "_reader", None)
+    if reader is not None and hasattr(reader, "keys"):
+        return reader.keys()
+    raise TypeError("cannot iterate feature keys; pass a dict for warmup")

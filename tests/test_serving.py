@@ -1,0 +1,120 @@
+"""Serving layer: scorer batching and the HTTP server end-to-end."""
+
+import json
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+from multimodal_context_reasoning_tpu.data.schemas import ImageFeatures, RawExample
+from multimodal_context_reasoning_tpu.data.tokenization import (
+    HashTokenizer,
+    RobertaHashTokenizer,
+)
+from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
+from multimodal_context_reasoning_tpu.serving.server import serve
+
+
+@pytest.fixture(scope="module")
+def scorer():
+    cfg = ModCRConfig.tiny()
+    rng = np.random.default_rng(0)
+    feats = {
+        f"img-{i}": ImageFeatures(
+            features=rng.normal(
+                size=(5, cfg.global_encoder.img_feature_dim)
+            ).astype(np.float32),
+            num_regions=5,
+        )
+        for i in range(4)
+    }
+    bert = HashTokenizer(vocab_size=cfg.global_encoder.vocab_size)
+    rob = RobertaHashTokenizer(vocab_size=cfg.roberta.vocab_size)
+
+    # random-init params through a warm batch
+    model = ModCRModel(cfg)
+    from multimodal_context_reasoning_tpu.data.collate import (
+        BatchSpec,
+        collate_candidates,
+    )
+    from multimodal_context_reasoning_tpu.data.pmr import PMRDataset
+
+    spec = BatchSpec(
+        text_len=cfg.text_len, img_len=cfg.img_len,
+        roberta_len=cfg.roberta_len,
+        img_feature_dim=cfg.global_encoder.img_feature_dim,
+    )
+    ds = PMRDataset([], feats, bert, rob, spec=spec, max_chunks=cfg.max_chunks)
+    ex = RawExample("w", "img-0", "warm .", ["a ."] * 4, 0)
+    import jax.numpy as jnp
+
+    batch = collate_candidates([ds.featurize(ex)], [ds.get_image(ex)], spec)
+    params = model.init(
+        jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in batch.items()}
+    )
+    return ModCRScorer(cfg, params, bert, rob, feats, micro_batch=2)
+
+
+def _example(i):
+    return RawExample(
+        example_id=f"e{i}", img_id=f"img-{i % 4}",
+        premise="they are friends .",
+        answer_choices=["hug .", "fight .", "leave .", "sing ."],
+        answer_label=None,
+    )
+
+
+class TestScorer:
+    def test_batch_chunking_and_padding(self, scorer):
+        # 3 examples through micro_batch=2: one full + one padded chunk
+        results = scorer.score([_example(i) for i in range(3)])
+        assert [r["example_id"] for r in results] == ["e0", "e1", "e2"]
+        for r in results:
+            assert len(r["logits"]) == 4
+            np.testing.assert_allclose(sum(r["probs"]), 1.0, rtol=1e-4)
+
+    def test_deterministic(self, scorer):
+        a = scorer.score([_example(0)])
+        b = scorer.score([_example(0)])
+        assert a[0]["logits"] == b[0]["logits"]
+
+
+class TestServer:
+    def test_http_roundtrip(self, scorer):
+        server = serve(scorer, port=0, block=False)
+        port = server.server_address[1]
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz"
+            ) as r:
+                assert json.load(r)["status"] == "ok"
+
+            body = json.dumps({
+                "examples": [{
+                    "example_id": "q1", "img_id": "img-1",
+                    "premise": "two people .",
+                    "answer_choices": ["a .", "b .", "c .", "d ."],
+                }]
+            }).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/score", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req) as r:
+                out = json.load(r)
+            assert out["results"][0]["example_id"] == "q1"
+            assert 0 <= out["results"][0]["prediction"] < 4
+
+            # error probe: empty request
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/score", data=b"{}", method="POST"
+            )
+            try:
+                urllib.request.urlopen(req)
+                assert False, "expected 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            server.shutdown()
