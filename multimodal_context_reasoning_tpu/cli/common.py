@@ -59,6 +59,18 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="pickle: {img-id: {'features': [N,2054], ...}}")
     p.add_argument("--bert_tokenizer_dir", type=str, default="")
     p.add_argument("--roberta_tokenizer_dir", type=str, default="")
+    # reference-checkpoint import (interop/assemble.py; any may be omitted)
+    p.add_argument("--oscar_ckpt", type=str, default="",
+                   help="Oscar-base BertImgModel torch weights (.bin/.pth)")
+    p.add_argument("--chunkalign_ckpt", type=str, default="",
+                   help="ChunkAlign pretrain dict (seq_enc.-prefixed)")
+    p.add_argument("--roberta_ckpt", type=str, default="",
+                   help="roberta-large torch weights")
+    p.add_argument("--modcr_ckpt", type=str, default="",
+                   help="reference ModCR checkpoint ({'net': ...} form)")
+    p.add_argument("--cold_start", action="store_true",
+                   help="stage-1 surgery: drop mapping-network/classifier "
+                        "keys of --modcr_ckpt (run_PMR_ModCR.py:819-832)")
     # TPU-native
     p.add_argument("--mesh_data", type=int, default=0,
                    help="data-parallel axis size (0 = all devices)")

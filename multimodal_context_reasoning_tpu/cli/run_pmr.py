@@ -76,6 +76,32 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
     tokenizers = load_tokenizers(args, cfg)
     model = ModCRModel(cfg)
 
+    def maybe_import_reference_weights(params):
+        """Graft reference torch checkpoints when any --*_ckpt is given
+        (run_PMR_ModCR.py:709-835 load sequence)."""
+        if not any((args.oscar_ckpt, args.chunkalign_ckpt,
+                    args.roberta_ckpt, args.modcr_ckpt)):
+            return params
+        import jax as _jax
+        import numpy as _np
+
+        from multimodal_context_reasoning_tpu.interop.assemble import (
+            assemble_from_files,
+        )
+
+        params = _jax.tree_util.tree_map(_np.asarray, params)
+        assemble_from_files(
+            params, cfg,
+            oscar_path=args.oscar_ckpt or None,
+            chunkalign_path=args.chunkalign_ckpt or None,
+            roberta_path=args.roberta_ckpt or None,
+            modcr_path=args.modcr_ckpt or None,
+            cold_start=args.cold_start,
+        )
+        logger.info("imported reference weights (cold_start=%s)",
+                    args.cold_start)
+        return params
+
     if args.do_train:
         train_ds = make_dataset(args, cfg, args.train_file, feats, tokenizers)
         val_ds = (
@@ -85,6 +111,8 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
         train_dl = DataLoader(
             train_ds, args.per_gpu_train_batch_size, shuffle=True,
             seed=args.seed, drop_last=True,
+            shard=(jax.process_index(), jax.process_count())
+            if jax.process_count() > 1 else None,
         )
         val_dl = (
             DataLoader(val_ds, args.per_gpu_eval_batch_size)
@@ -96,7 +124,14 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
             logger=logger,
             freeze_roberta_body=(task == "vcr"),  # run_vcr_ModCR.py:783-787
         )
-        state = trainer.fit()
+        from multimodal_context_reasoning_tpu.train.checkpoint import save_config
+
+        save_config(args.output_dir, "config.json", cfg)
+        state = trainer.init_state()
+        state = state.replace(
+            params=maybe_import_reference_weights(state.params)
+        )
+        state = trainer.fit(state)
         logger.info("training done: best val acc %.4f", trainer.best_acc)
         return state
 
@@ -113,6 +148,7 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
             jax.random.PRNGKey(0),
             {k: jnp.asarray(v) for k, v in sample.items() if k != "example_mask"},
         )
+        params = maybe_import_reference_weights(params)
         if args.eval_model_dir:
             from multimodal_context_reasoning_tpu.train.checkpoint import (
                 CheckpointManager,
