@@ -111,10 +111,12 @@ def constrained_beam_sample(
     mem_mask = rep(memory_mask)
 
     cache = KVCache.zeros(model.config, N, L_total)
+    pos = jnp.arange(L_total)[None, :]
+    cache_valid = ((pos < p_len[:, None]) | (pos >= Lp)).astype(jnp.float32)
     logits, cache = model.apply(
         params, p_ids,
         memory=mem, memory_mask=mem_mask,
-        cache=cache, cache_index=jnp.int32(0),
+        cache=cache, cache_index=jnp.int32(0), cache_valid=cache_valid,
         deterministic=True,
     )
     last_logits = jnp.take_along_axis(
@@ -135,12 +137,23 @@ def constrained_beam_sample(
 
     cmask = constraint_mask if constraint_mask is not None else jnp.zeros((B, V), bool)
 
+    # repetition penalty covers the PROMPT too (the reference penalizes over
+    # the full input_ids, prompt included — beam_sample feeds input_ids to
+    # the logits_processor, v10.py:2255)
+    prompt_valid = jnp.arange(Lp)[None, :] < p_len[:, None]      # [N, Lp]
+
     def select(state: BeamState, logp_raw: jnp.ndarray) -> BeamState:
         """One beam-advance given next-token log-probs [N, V]."""
         t = state.cur_len
         gen = state.seqs.reshape(N, L_total)
-        gen_valid = jnp.arange(L_total)[None, :] < t
-        logp = apply_repetition_penalty(logp_raw, gen, gen_valid, repetition_penalty)
+        gen_valid = jnp.broadcast_to(
+            jnp.arange(L_total)[None, :] < t, (N, L_total)
+        )
+        full_seq = jnp.concatenate([p_ids, gen], axis=1)
+        full_valid = jnp.concatenate([prompt_valid, gen_valid], axis=1)
+        logp = apply_repetition_penalty(
+            logp_raw, full_seq, full_valid, repetition_penalty
+        )
         scores = logp + state.beam_scores.reshape(N)[:, None]    # [N, V]
         scores = top_k_warp(scores, top_k)
         flat = scores.reshape(B, K * V)
@@ -247,6 +260,7 @@ def constrained_beam_sample(
             position_offset=p_len + state.cur_len - 1,
             memory=mem, memory_mask=mem_mask,
             cache=state.cache, cache_index=Lp + state.cur_len - 1,
+            cache_valid=cache_valid,
             deterministic=True,
         )
         state = state._replace(cache=cache)

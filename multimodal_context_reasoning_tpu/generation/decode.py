@@ -39,15 +39,16 @@ def greedy_decode(
     L_total = Lp + max_len
     cache = KVCache.zeros(model.config, B, L_total)
 
-    prompt_mask = (
-        jnp.arange(Lp)[None, :] < prompt_len[:, None]
-    ).astype(jnp.float32)
+    # readable cache slots: real prompt tokens + everything generated
+    # (right-padded prompt slots hold garbage K/V and must stay masked)
+    pos = jnp.arange(L_total)[None, :]
+    cache_valid = ((pos < prompt_len[:, None]) | (pos >= Lp)).astype(jnp.float32)
 
     # Prefill: cache_index=0 writes positions [0, Lp).
     logits, cache = model.apply(
         params, prompt_ids,
         memory=memory, memory_mask=memory_mask,
-        cache=cache, cache_index=jnp.int32(0),
+        cache=cache, cache_index=jnp.int32(0), cache_valid=cache_valid,
         deterministic=True,
     )
     # Last real prompt token's logits seed the first generated token.
@@ -66,7 +67,7 @@ def greedy_decode(
             params, tok[:, None],
             position_offset=prompt_len,  # positions continue from real length
             memory=memory, memory_mask=memory_mask,
-            cache=cache, cache_index=Lp + t,
+            cache=cache, cache_index=Lp + t, cache_valid=cache_valid,
             deterministic=True,
         )
         nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
@@ -128,10 +129,14 @@ def sample_decode(
     no-beam-search sampling branch of the legacy caption engine
     (modeling/modeling_utils.py:263-589)."""
     B, Lp = prompt_ids.shape
-    cache = KVCache.zeros(model.config, B, Lp + max_len)
+    L_total = Lp + max_len
+    cache = KVCache.zeros(model.config, B, L_total)
+    pos = jnp.arange(L_total)[None, :]
+    cache_valid = ((pos < prompt_len[:, None]) | (pos >= Lp)).astype(jnp.float32)
     logits, cache = model.apply(
         params, prompt_ids, memory=memory, memory_mask=memory_mask,
-        cache=cache, cache_index=jnp.int32(0), deterministic=True,
+        cache=cache, cache_index=jnp.int32(0), cache_valid=cache_valid,
+        deterministic=True,
     )
     last = jnp.take_along_axis(logits, (prompt_len - 1)[:, None, None], axis=1)[:, 0]
 
@@ -149,7 +154,8 @@ def sample_decode(
             params, tok[:, None],
             position_offset=prompt_len,
             memory=memory, memory_mask=memory_mask,
-            cache=cache, cache_index=Lp + t, deterministic=True,
+            cache=cache, cache_index=Lp + t, cache_valid=cache_valid,
+            deterministic=True,
         )
         rng, sub = jax.random.split(rng)
         nxt = pick(sub, logits[:, 0])

@@ -56,6 +56,7 @@ class GPT2SelfAttention(nn.Module):
         *,
         cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [B, Lc, H, Dh]
         cache_index: Optional[jnp.ndarray] = None,   # scalar int32: write offset
+        cache_valid: Optional[jnp.ndarray] = None,   # [B, Lc] {0,1}: readable
         attn_mask: Optional[jnp.ndarray] = None,     # [B, L] {0,1} over inputs
         deterministic: bool = True,
     ):
@@ -76,6 +77,12 @@ class GPT2SelfAttention(nn.Module):
             pos = jnp.arange(Lc)[None, :]                       # [1, Lc]
             valid = pos <= (cache_index + jnp.arange(L))[:, None]  # [L, Lc]
             bias = jnp.where(valid, 0.0, NEG_INF)[None, None]   # [1, 1, L, Lc]
+            if cache_valid is not None:
+                # kill right-padded prompt slots: their K/V were written into
+                # the cache and would otherwise be attended by every later
+                # token (the positional mask alone cannot see padding)
+                bias = bias + ((1.0 - cache_valid.astype(jnp.float32))
+                               * NEG_INF)[:, None, None, :]
             out, _ = dot_product_attention(q, ck, cv, bias,
                                            deterministic=deterministic)
             new_cache = (ck, cv)
@@ -145,6 +152,7 @@ class GPT2Block(nn.Module):
         memory_mask: Optional[jnp.ndarray] = None,
         cache_kv=None,
         cache_index=None,
+        cache_valid=None,
         attn_mask=None,
         deterministic: bool = True,
     ):
@@ -152,6 +160,7 @@ class GPT2Block(nn.Module):
         h = nn.LayerNorm(epsilon=c.layer_norm_epsilon, name="ln_1")(hidden)
         attn, new_cache = GPT2SelfAttention(c, name="attn")(
             h, cache_kv=cache_kv, cache_index=cache_index,
+            cache_valid=cache_valid,
             attn_mask=attn_mask, deterministic=deterministic,
         )
         hidden = hidden + attn
@@ -183,6 +192,7 @@ class GPT2Decoder(nn.Module):
         memory_mask: Optional[jnp.ndarray] = None,
         cache: Optional[KVCache] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        cache_valid: Optional[jnp.ndarray] = None,   # [B, L_cache] {0,1}
         attn_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
@@ -210,6 +220,7 @@ class GPT2Decoder(nn.Module):
                 h,
                 memory=memory, memory_mask=memory_mask,
                 cache_kv=layer_cache, cache_index=cache_index,
+                cache_valid=cache_valid,
                 attn_mask=attn_mask, deterministic=deterministic,
             )
             if updated is not None:

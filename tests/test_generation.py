@@ -114,6 +114,28 @@ class TestGreedy:
         want = int(jnp.argmax(short[0, -1]))
         assert int(toks[1, 0]) == want
 
+    def test_padded_prompt_full_sequence_matches_unpadded(self, gpt2_setup):
+        """EVERY generated token (not just the first) must be independent of
+        right-padding in the prompt — the padded slots' K/V live in the
+        cache and must never be attended (regression: cache_valid mask)."""
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        real = Lp - 2
+        # row 1 padded to Lp, decoded with plen=real
+        toks_padded, _ = greedy_decode(
+            model, params, prompt, jnp.asarray([Lp, real], jnp.int32),
+            memory=mem, memory_mask=mmask, max_len=5, eos_id=1, pad_id=0,
+        )
+        # row 1 alone, trimmed to its real length
+        toks_trim, _ = greedy_decode(
+            model, params, prompt[1:2, :real], jnp.asarray([real], jnp.int32),
+            memory=mem[1:2], memory_mask=mmask[1:2],
+            max_len=5, eos_id=1, pad_id=0,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(toks_padded[1]), np.asarray(toks_trim[0])
+        )
+
 
 class TestBeam:
     def test_deterministic_given_rng(self, gpt2_setup):
