@@ -88,11 +88,10 @@ class ChunkAlignConfig:
     cls_layer_num: int = 2
     cls_num_heads: int = 8          # cross_attention_lyx(hidden, 8) (v10.py:848)
     # Whether the CLS-fusion cross-attention masks out padded memory
-    # positions. The reference computes a word_mask but never feeds it to
-    # cross_attention_lyx (v10.py:856-857: attention_mask defaults to None),
-    # so padded positions leak into the fusion attention and results depend
-    # on batch padding. We default to True (mask properly) for static-shape
-    # invariance; set False to replicate the reference bug exactly.
+    # positions.  The production path passes word_mask into cls_layer_lyx
+    # (v10.py:976-977, consumed via masked_fill in cross_attention_lyx
+    # :749-751), so True is the faithful default; False exists only to
+    # replicate ablation classes that drop the mask.
     mask_fusion_memory: bool = True
 
 

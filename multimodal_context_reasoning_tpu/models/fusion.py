@@ -148,10 +148,10 @@ class ChunkAlignFusion(nn.Module):
             [global_seq[:, 1:T], seq_seq[:, 1:T], chunk_hidden[:, 1:T]], axis=1
         )
 
-        # The reference computes word_mask (v10.py:943-945) but never passes
-        # it into cls_layer_lyx's cross-attention (v10.py:856-857), so padded
-        # memory positions are attended. We mask by default
-        # (schedule.mask_fusion_memory) for padding invariance.
+        # The production path feeds word_mask into every cls_layer_lyx call
+        # (v10.py:943-945 construction, :976-977 the third positional arg,
+        # consumed via masked_fill in cross_attention_lyx :749-751) — padded
+        # memory positions are masked; True is the faithful default.
         memory_bias = None
         if self.schedule.mask_fusion_memory:
             word = text_mask[:, 1:T].astype(jnp.float32)

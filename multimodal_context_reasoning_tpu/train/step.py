@@ -11,8 +11,9 @@ alignment-loss term is computed but commented out of the total).  Metrics
 additionally report the alignment loss and candidate accuracy.
 
 Accuracy semantics (eval, run_PMR_ModCR.py:266-274): argmax over the 4
-candidate logits vs argmax of the multi-hot label row — a multi-label PMR row
-counts as correct if the top-scoring candidate is *any* gold candidate.
+candidate logits must equal argmax of the multi-hot label row — for a
+multi-label PMR row the reference credits only the FIRST gold candidate,
+and so do we (reference-exact accuracy numbers).
 """
 
 from __future__ import annotations
@@ -42,7 +43,10 @@ def _metrics(out, batch: Batch, num_labels: int) -> Dict[str, jnp.ndarray]:
     logits = out.logits                              # [B, K]
     labels = batch["label"].reshape(logits.shape)    # [B, K] multi-hot
     pred = jnp.argmax(logits, axis=-1)
-    hit = jnp.take_along_axis(labels, pred[:, None], axis=-1)[:, 0] > 0.0
+    # exact reference semantics (run_PMR_ModCR.py:266-274): prediction must
+    # equal argmax of the label row — for a multi-label PMR row that is the
+    # FIRST gold candidate, not any gold.
+    hit = pred == jnp.argmax(labels, axis=-1)
     w = batch.get("example_mask")
     if w is None:
         w = jnp.ones(logits.shape[:1], jnp.float32)
