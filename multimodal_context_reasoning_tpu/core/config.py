@@ -88,10 +88,11 @@ class ChunkAlignConfig:
     cls_layer_num: int = 2
     cls_num_heads: int = 8          # cross_attention_lyx(hidden, 8) (v10.py:848)
     # Whether the CLS-fusion cross-attention masks out padded memory
-    # positions.  The production path passes word_mask into cls_layer_lyx
-    # (v10.py:976-977, consumed via masked_fill in cross_attention_lyx
-    # :749-751), so True is the faithful default; False exists only to
-    # replicate ablation classes that drop the mask.
+    # positions.  The reference builds word_mask (v10.py:943-945) and hands
+    # it to cls_layer_lyx (:976-977), but ClsLayer_lyx.forward never
+    # forwards it into the attention (:857-858) — padded positions leak in
+    # and results depend on batch padding.  True (default) masks properly
+    # for static-shape invariance; False replicates the reference bug.
     mask_fusion_memory: bool = True
 
 

@@ -148,10 +148,13 @@ class ChunkAlignFusion(nn.Module):
             [global_seq[:, 1:T], seq_seq[:, 1:T], chunk_hidden[:, 1:T]], axis=1
         )
 
-        # The production path feeds word_mask into every cls_layer_lyx call
-        # (v10.py:943-945 construction, :976-977 the third positional arg,
-        # consumed via masked_fill in cross_attention_lyx :749-751) — padded
-        # memory positions are masked; True is the faithful default.
+        # The reference builds word_mask (v10.py:943-945) and passes it into
+        # cls_layer_lyx (:976-977) — but ClsLayer_lyx.forward drops it on the
+        # floor: its cross_attention call passes no attention_mask
+        # (v10.py:857-858), so padded memory positions ARE attended there
+        # and results depend on batch padding.  We mask by default
+        # (schedule.mask_fusion_memory=True) for static-shape invariance;
+        # set False to replicate the reference bug bit-for-bit.
         memory_bias = None
         if self.schedule.mask_fusion_memory:
             word = text_mask[:, 1:T].astype(jnp.float32)
