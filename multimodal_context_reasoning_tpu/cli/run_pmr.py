@@ -65,6 +65,17 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
     set_seed(args.seed)
 
     cfg, tcfg = configs_from_args(args)
+    # restore_training_settings analogue (run_PMR_ModCR.py:370-400): when
+    # evaluating a saved run, its config.json overrides the geometry flags
+    # so shapes match the checkpoint.
+    if args.eval_model_dir and not args.do_train:
+        cfg_path = os.path.join(args.eval_model_dir, "config.json")
+        if os.path.exists(cfg_path):
+            from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+
+            with open(cfg_path) as f:
+                cfg = ModCRConfig.from_json(f.read())
+            logger.info("restored model config from %s", cfg_path)
     n_model = max(args.mesh_model, 1)
     n_data = args.mesh_data or (len(jax.devices()) // n_model)
     mesh = make_mesh((n_data, n_model)) if n_data * n_model > 1 else None
