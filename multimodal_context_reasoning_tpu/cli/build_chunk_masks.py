@@ -38,13 +38,12 @@ from multimodal_context_reasoning_tpu.data.vcr import load_vcr_json
 
 
 def dense_mask_from_offsets(offsets: List[List[int]], length: int) -> np.ndarray:
-    """Reference mask structure (GetChunk_v4_vcr.py:104-148): CLS row/col +
-    chunk blocks + final-SEP row/col, everything else diagonal-only."""
+    """Reference mask structure (GetChunk_v4_vcr.py:104-148): eye base,
+    chunk blocks, and all-visible ROWS for CLS (0) and the final SEP
+    (length-1) — the builder never sets their columns."""
     m = np.eye(length, dtype=np.float32)
     m[0, :] = 1.0
-    m[:, 0] = 1.0
     m[length - 1, :] = 1.0
-    m[:, length - 1] = 1.0
     for members in offsets:
         for a in members:
             for b in members:

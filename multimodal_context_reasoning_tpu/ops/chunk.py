@@ -55,20 +55,32 @@ def chunk_mask_from_gather_index(
 ) -> jnp.ndarray:
     """Build the [B, T, T] chunk-block attention mask from chunk assignments.
 
-    Reproduces the offline mask builder's structure
-    (utils/GetChunk_v4_vcr.py:104-148): tokens in the same chunk see each
-    other; tokens outside any chunk (CLS / SEP) see, and are seen by, every
-    real text token; every real token sees itself.
+    Reproduces the offline builder's exact structure
+    (utils/GetChunk_v4_vcr.py:104-148):
 
-    This lets the data pipeline ship only ``gather_index`` and synthesize the
-    dense mask on device instead of storing [T, T] pickles per candidate.
+    - tokens in the same chunk see each other (symmetric blocks);
+    - every real token sees itself (``torch.eye`` base);
+    - the CLS **row** (position 0) and the final-SEP **row** (last real
+      position) are all-visible — *rows only*: the builder sets
+      ``total_mask[0, :] = 1`` and ``total_mask[len-1, :] = 1`` but never
+      the columns, so interior tokens do NOT see CLS/SEP in the chunk
+      stages;
+    - tokens outside any chunk (the builder's O-singletons; our ``-1``)
+      see only themselves.
+
+    This lets the data pipeline ship only ``gather_index`` and synthesize
+    the dense mask on device instead of storing [T, T] pickles per
+    candidate.
     """
+    B, T = gather_index.shape
     same_chunk = (
         (gather_index[:, :, None] == gather_index[:, None, :])
         & (gather_index[:, :, None] >= 0)
     )
-    outside = (gather_index < 0) & (text_mask > 0)                # CLS / SEP rows
-    broadcast_rows = outside[:, :, None] | outside[:, None, :]
+    eye = jnp.eye(T, dtype=bool)[None]
+    pos = jnp.arange(T)[None, :]
+    lengths = jnp.sum(text_mask > 0, axis=1)                     # [B]
+    cls_or_sep = (pos == 0) | (pos == (lengths - 1)[:, None])    # [B, T]
+    full_rows = cls_or_sep[:, :, None]                            # rows only
     real = (text_mask[:, :, None] > 0) & (text_mask[:, None, :] > 0)
-    eye = jnp.eye(gather_index.shape[1], dtype=bool)[None]
-    return ((same_chunk | broadcast_rows | eye) & real).astype(jnp.float32)
+    return ((same_chunk | full_rows | eye) & real).astype(jnp.float32)

@@ -139,19 +139,27 @@ class TestStageBiases:
 
 
 class TestChunkMaskFromGatherIndex:
-    def test_blocks_and_broadcast_rows(self):
-        # [CLS, w1, w1, w2, SEP, pad]
-        gi = np.array([[-1, 0, 0, 1, -1, -1]], np.int32)
-        tm = np.array([[1, 1, 1, 1, 1, 0]], np.float32)
+    def test_blocks_and_full_rows(self):
+        """Reference builder semantics (GetChunk_v4_vcr.py:104-148): CLS and
+        final-SEP get all-visible ROWS only (columns stay diagonal); O
+        tokens see only themselves."""
+        # [CLS, w1, w1, O, w2, SEP, pad]
+        gi = np.array([[-1, 0, 0, -1, 1, -1, -1]], np.int32)
+        tm = np.array([[1, 1, 1, 1, 1, 1, 0]], np.float32)
         m = np.asarray(chunk_mask_from_gather_index(jnp.asarray(gi), jnp.asarray(tm)))[0]
         # chunk block
         assert m[1, 2] == 1 and m[2, 1] == 1
         # cross-chunk not visible
-        assert m[1, 3] == 0 and m[3, 1] == 0
-        # CLS/SEP rows broadcast to all real tokens
-        assert np.all(m[0, :5] == 1) and np.all(m[:5, 0] == 1)
-        assert np.all(m[4, :5] == 1)
+        assert m[1, 4] == 0 and m[4, 1] == 0
+        # CLS row sees all real; CLS column is NOT visible to interior tokens
+        assert np.all(m[0, :6] == 1)
+        assert m[1, 0] == 0 and m[4, 0] == 0
+        # final-SEP row sees all real; its column is diagonal-only
+        assert np.all(m[5, :6] == 1)
+        assert m[1, 5] == 0
+        # O token (pos 3) sees only itself
+        assert m[3, 3] == 1 and m[3, 1] == 0 and m[3, 4] == 0
         # padding fully masked
-        assert np.all(m[5] == 0) and np.all(m[:, 5] == 0)
+        assert np.all(m[6] == 0) and np.all(m[:, 6] == 0)
         # diagonal for real tokens
-        assert np.all(np.diag(m)[:5] == 1)
+        assert np.all(np.diag(m)[:6] == 1)
