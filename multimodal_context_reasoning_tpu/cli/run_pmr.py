@@ -155,7 +155,7 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
         sample = next(iter(test_dl))
         import jax.numpy as jnp
 
-        params = model.init(
+        params = jax.jit(model.init)(
             jax.random.PRNGKey(0),
             {k: jnp.asarray(v) for k, v in sample.items() if k != "example_mask"},
         )

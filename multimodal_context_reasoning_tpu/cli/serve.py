@@ -64,7 +64,7 @@ def main(argv=None):
     batch = collate_candidates(
         [ds.featurize(warm_ex)], [ds.get_image(warm_ex)], spec
     )
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in batch.items()}
     )
     if args.eval_model_dir:

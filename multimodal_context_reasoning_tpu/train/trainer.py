@@ -70,7 +70,9 @@ class Trainer:
             sample_batch = next(iter(self.train_loader))
         inputs = {k: jnp.asarray(v) for k, v in sample_batch.items()
                   if k != "example_mask"}
-        params = self.model.init(rng, inputs)
+        # jit the init: unjitted, every parameter initializer is a separate
+        # device dispatch — ruinous over a high-latency device link
+        params = jax.jit(self.model.init)(rng, inputs)
         tx = make_optimizer(
             self.cfg, self.t_total, params,
             freeze_roberta_body=self.freeze_roberta_body,
