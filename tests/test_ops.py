@@ -163,3 +163,19 @@ class TestChunkMaskFromGatherIndex:
         assert np.all(m[6] == 0) and np.all(m[:, 6] == 0)
         # diagonal for real tokens
         assert np.all(np.diag(m)[:6] == 1)
+
+    def test_synthetic_batch_mirror_matches_op(self):
+        """__graft_entry__._synthetic_batch's host-side numpy mask mirror
+        must stay bit-identical to the device op it mirrors (ADVICE r1)."""
+        from __graft_entry__ import _synthetic_batch
+        from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+
+        cfg = ModCRConfig.tiny()
+        batch = _synthetic_batch(cfg, n_examples=2)
+        mirrored = np.asarray(batch["chunk_mask"])
+        op = np.asarray(
+            chunk_mask_from_gather_index(
+                batch["gather_index"], batch["text_mask"]
+            )
+        )
+        np.testing.assert_array_equal(mirrored, op)
