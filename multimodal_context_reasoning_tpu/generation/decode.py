@@ -65,7 +65,9 @@ def greedy_decode(
         cache, tok, done = carry
         logits, cache = model.apply(
             params, tok[:, None],
-            position_offset=prompt_len,  # positions continue from real length
+            position_offset=prompt_len + t,  # per-step positions continue
+            # from each example's REAL length (reference feeds correct
+            # incremental positions via its growing `past`, v10.py:1463-1493)
             memory=memory, memory_mask=memory_mask,
             cache=cache, cache_index=Lp + t, cache_valid=cache_valid,
             deterministic=True,
@@ -152,7 +154,7 @@ def sample_decode(
         cache, tok, done, rng = carry
         logits, cache = model.apply(
             params, tok[:, None],
-            position_offset=prompt_len,
+            position_offset=prompt_len + t,
             memory=memory, memory_mask=memory_mask,
             cache=cache, cache_index=Lp + t, cache_valid=cache_valid,
             deterministic=True,

@@ -206,7 +206,12 @@ class GPT2Decoder(nn.Module):
                        name="wpe")
         pos = jnp.arange(L, dtype=jnp.int32)[None]
         if position_offset is not None:
-            pos = pos + position_offset
+            # Accept a scalar or a per-example [B] offset.  A [B] offset must
+            # broadcast per-ROW ([B, 1]): naked `pos + offset` would produce
+            # [1, B] and cross every example with every offset, silently
+            # blowing hiddens up to [B, B, D] when L == 1.
+            off = jnp.asarray(position_offset, jnp.int32)
+            pos = pos + (off[:, None] if off.ndim == 1 else off)
         h = wte(input_ids) + wpe(pos)
         h = nn.Dropout(c.embd_pdrop)(h, deterministic=deterministic)
 

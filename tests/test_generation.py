@@ -256,3 +256,122 @@ class TestRationale:
         np.testing.assert_allclose(mp[0, 1], 0.0, atol=1e-3)
         np.testing.assert_allclose(mp[0, 2], 0.5, atol=1e-3)
         np.testing.assert_allclose(mp[0, 3], 0.5, atol=1e-3)
+
+
+class TestDecodeOracle:
+    """Multi-step cached decodes vs a full-forward re-encode oracle — the
+    probe that caught the round-1 position bug (every generated token after
+    the first reused position prompt_len, and a [B] offset broadcast to
+    [1, B] blowing hiddens up to [B, B, D]).  The reference's incremental
+    loop feeds correct positions via its growing `past`
+    (modeling_vcr_chunkalign_v10.py:1463-1493)."""
+
+    def _full_forward_last_logits(self, model, params, seqs, mem, mmask):
+        """Per-example uncached forward over each (ragged) sequence; returns
+        stacked last-token logits [B, V]."""
+        outs = []
+        for b, seq in enumerate(seqs):
+            logits, _ = model.apply(
+                params, jnp.asarray([seq], jnp.int32),
+                memory=mem[b : b + 1], memory_mask=mmask[b : b + 1],
+            )
+            outs.append(np.asarray(logits[0, -1], np.float32))
+        return np.stack(outs)
+
+    def test_single_step_with_unequal_offsets_matches_full(self, gpt2_setup):
+        """One cached step where each row has a DIFFERENT position offset."""
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        plen = np.array([Lp, Lp - 2], np.int32)
+        cache = KVCache.zeros(cfg, B, Lp + 4)
+        pos = np.arange(Lp + 4)[None, :]
+        cache_valid = jnp.asarray(
+            ((pos < plen[:, None]) | (pos >= Lp)).astype(np.float32)
+        )
+        _, cache = model.apply(
+            params, prompt, memory=mem, memory_mask=mmask,
+            cache=cache, cache_index=jnp.int32(0), cache_valid=cache_valid,
+        )
+        nxt = jnp.asarray([[5], [9]], jnp.int32)
+        step, _ = model.apply(
+            params, nxt, position_offset=jnp.asarray(plen),
+            memory=mem, memory_mask=mmask,
+            cache=cache, cache_index=jnp.int32(Lp), cache_valid=cache_valid,
+        )
+        assert step.shape == (B, 1, V)
+        seqs = [
+            list(np.asarray(prompt[b, : plen[b]])) + [int(nxt[b, 0])]
+            for b in range(B)
+        ]
+        want = self._full_forward_last_logits(model, params, seqs, mem, mmask)
+        np.testing.assert_allclose(
+            np.asarray(step[:, 0], np.float32), want, rtol=2e-4, atol=2e-4
+        )
+
+    def test_greedy_multistep_matches_full_forward_oracle(self, gpt2_setup):
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        plen = np.array([Lp, Lp - 2], np.int32)
+        max_len, eos = 6, 1
+        toks, _ = greedy_decode(
+            model, params, prompt, jnp.asarray(plen),
+            memory=mem, memory_mask=mmask, max_len=max_len,
+            eos_id=eos, pad_id=0,
+        )
+        toks = np.asarray(toks)
+        for b in range(B):
+            seq = list(np.asarray(prompt[b, : plen[b]]))
+            for t in range(max_len):
+                logits, _ = model.apply(
+                    params, jnp.asarray([seq], jnp.int32),
+                    memory=mem[b : b + 1], memory_mask=mmask[b : b + 1],
+                )
+                nxt = int(jnp.argmax(logits[0, -1]))
+                assert toks[b, t] == nxt, (
+                    f"row {b} step {t}: cached={toks[b, :t+1].tolist()} "
+                    f"oracle next={nxt}"
+                )
+                if nxt == eos:
+                    break
+                seq.append(nxt)
+
+    def test_sample_multistep_matches_full_forward_oracle(self, gpt2_setup):
+        """sample_decode with a fixed rng bit-matches an oracle that replays
+        the identical rng splits over full-forward logits."""
+        from multimodal_context_reasoning_tpu.generation.decode import (
+            sample_decode,
+            top_k_top_p_filter,
+        )
+
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        plen = np.array([Lp, Lp - 2], np.int32)
+        max_len, eos, top_k = 5, 1, 30
+        toks, _ = sample_decode(
+            model, params, prompt, jnp.asarray(plen),
+            rng=jax.random.PRNGKey(11), memory=mem, memory_mask=mmask,
+            max_len=max_len, eos_id=eos, pad_id=0, top_k=top_k,
+        )
+        toks = np.asarray(toks)
+
+        def pick(rng, lg):
+            lg = jnp.asarray(lg, jnp.float32)
+            lg = top_k_top_p_filter(lg, top_k, 1.0)
+            return np.asarray(jax.random.categorical(rng, lg, axis=-1))
+
+        rng = jax.random.PRNGKey(11)
+        seqs = [list(np.asarray(prompt[b, : plen[b]])) for b in range(B)]
+        done = [False] * B
+        rng, sub = jax.random.split(rng)
+        cur = pick(sub, self._full_forward_last_logits(model, params, seqs, mem, mmask))
+        for t in range(max_len):
+            for b in range(B):
+                if not done[b]:
+                    assert toks[b, t] == cur[b], f"row {b} step {t}"
+                    seqs[b].append(int(cur[b]))
+                    if cur[b] == eos:
+                        done[b] = True
+            if t == max_len - 1:
+                break
+            rng, sub = jax.random.split(rng)
+            cur = pick(sub, self._full_forward_last_logits(model, params, seqs, mem, mmask))
