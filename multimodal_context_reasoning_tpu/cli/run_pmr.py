@@ -101,7 +101,7 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
         )
 
         params = _jax.tree_util.tree_map(_np.asarray, params)
-        assemble_from_files(
+        report = assemble_from_files(
             params, cfg,
             oscar_path=args.oscar_ckpt or None,
             chunkalign_path=args.chunkalign_ckpt or None,
@@ -109,8 +109,10 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
             modcr_path=args.modcr_ckpt or None,
             cold_start=args.cold_start,
         )
-        logger.info("imported reference weights (cold_start=%s)",
-                    args.cold_start)
+        logger.info("imported reference weights (cold_start=%s): %s",
+                    args.cold_start, report.summary())
+        for key, reason in sorted(report.skipped.items()):
+            logger.debug("skipped %s: %s", key, reason)
         return params
 
     if args.do_train:

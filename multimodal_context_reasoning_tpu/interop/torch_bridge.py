@@ -181,6 +181,7 @@ def convert_roberta(
     *,
     vocab_size: Optional[int] = None,
     reinit_token_types: int = 2,
+    keep_token_type: bool = False,
     initializer_range: float = 0.02,
     seed: int = 0,
 ) -> Dict[str, Any]:
@@ -188,6 +189,10 @@ def convert_roberta(
 
     ``reinit_token_types``: the reference replaces roberta's 1-row
     token-type table with a fresh 2-row one (run_PMR_ModCR.py:779-781).
+    ``keep_token_type``: restore the source table instead — required when
+    loading a fine-tuned composite checkpoint whose 2-row table is trained
+    (run_PMR_ModCR.py:802-806); the source must already have
+    ``reinit_token_types`` rows.
     """
     if any(k.startswith("roberta.") for k in sd):
         sd = strip_prefix(sd, "roberta.")
@@ -197,9 +202,17 @@ def convert_roberta(
         word = resize_token_embeddings(word, vocab_size)
     hidden = word.shape[1]
 
-    rng = np.random.default_rng(seed)
-    ttype = (rng.standard_normal((reinit_token_types, hidden))
-             * initializer_range).astype(word.dtype)
+    if keep_token_type:
+        ttype = _require(sd, "embeddings.token_type_embeddings.weight")
+        if ttype.shape[0] != reinit_token_types:
+            raise ValueError(
+                f"keep_token_type: source table has {ttype.shape[0]} rows, "
+                f"target needs {reinit_token_types}"
+            )
+    else:
+        rng = np.random.default_rng(seed)
+        ttype = (rng.standard_normal((reinit_token_types, hidden))
+                 * initializer_range).astype(word.dtype)
 
     tree: Dict[str, Any] = {
         "embeddings": {
