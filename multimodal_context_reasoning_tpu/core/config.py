@@ -271,7 +271,9 @@ class TrainConfig:
 
     learning_rate: float = 1e-5       # :612
     seq_enc_lr_scale: float = 0.1     # seq_enc param group lr*0.1 (:127-135)
-    weight_decay: float = 0.05        # :613
+    weight_decay: float = 0.0         # the reference parses --weight_decay
+                                      # 0.05 (:613) but never passes it to
+                                      # AdamW (:137) -> effective 0.0
     adam_epsilon: float = 1e-5        # :614
     adam_b1: float = 0.9
     adam_b2: float = 0.999

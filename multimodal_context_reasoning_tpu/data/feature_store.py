@@ -86,6 +86,12 @@ def _find_native_lib() -> Optional[str]:
     return cand if os.path.exists(cand) else None
 
 
+class _MappedView(np.ndarray):
+    """ndarray view subclass carrying a reference to its mmap owner."""
+
+    _mcr_reader = None
+
+
 class _NativeReader:
     def __init__(self, path: str, lib_path: str):
         lib = ctypes.CDLL(lib_path)
@@ -119,8 +125,17 @@ class _NativeReader:
         )
         if not ptr:
             return None
-        # zero-copy view into the mapping
-        return np.ctypeslib.as_array(ptr, shape=(int(n.value), self.dim))
+        # Zero-copy view into the PROT_READ mapping: mark it read-only (an
+        # in-place write would SIGSEGV) and pin this reader on the array so
+        # a GC'd reader can never unmap memory a live view still points at.
+        # An EXPLICIT FeatureStore.close() still invalidates outstanding
+        # views — copy before closing if they must outlive the store.
+        arr = np.ctypeslib.as_array(
+            ptr, shape=(int(n.value), self.dim)
+        ).view(_MappedView)
+        arr._mcr_reader = self
+        arr.flags.writeable = False
+        return arr
 
     def keys(self):
         ln = ctypes.c_uint32(0)

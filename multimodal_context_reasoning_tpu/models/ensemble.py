@@ -51,14 +51,22 @@ def pairwise_hinge_loss(
     logits: jnp.ndarray,      # [Q, K]
     targets: jnp.ndarray,     # [Q, K] multi-hot
     margin: float = 0.5,
+    *,
+    use_probs: bool = False,
 ) -> jnp.ndarray:
-    """relu(margin + p_i − p_gold) summed over all (i, gold) pairs
-    (dual_ensemble_model_doubleloss :218-238 semantics, vectorized)."""
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    gold = jnp.sum(probs * targets, axis=-1, keepdims=True) / jnp.maximum(
+    """relu(margin + s_i − s_gold) summed over all (i, gold) pairs.
+
+    ``use_probs=False`` (default) applies the margin to RAW logits — the
+    pure-hinge ablation ``dual_ensemble_model_pairwise``
+    (modeling_ensemble.py:161-176).  ``use_probs=True`` softmaxes first —
+    the ``dual_ensemble_model_doubleloss`` variant (:218-238)."""
+    scores = logits.astype(jnp.float32)
+    if use_probs:
+        scores = jax.nn.softmax(scores, axis=-1)
+    gold = jnp.sum(scores * targets, axis=-1, keepdims=True) / jnp.maximum(
         jnp.sum(targets, axis=-1, keepdims=True), 1.0
     )
-    return jnp.sum(jax.nn.relu(margin + probs - gold))
+    return jnp.sum(jax.nn.relu(margin + scores - gold))
 
 
 class CandidateEnsemble(nn.Module):
@@ -105,7 +113,12 @@ class CandidateEnsemble(nn.Module):
             if "ce" in self.loss:
                 loss = loss + soft_cross_entropy(logits, targets)
             if "hinge" in self.loss:
-                loss = loss + pairwise_hinge_loss(logits, targets, self.margin)
+                # pure 'hinge' = pairwise ablation (raw logits);
+                # 'ce+hinge' = doubleloss ablation (softmaxed probs)
+                loss = loss + pairwise_hinge_loss(
+                    logits, targets, self.margin,
+                    use_probs=("ce" in self.loss),
+                )
         return EnsembleOutput(loss=loss, logits=logits)
 
 

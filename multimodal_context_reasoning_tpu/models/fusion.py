@@ -67,7 +67,10 @@ class ClsLayerLyx(nn.Module):
         k = nn.Dense(D, dtype=dt, name="k_proj")(memory)
         v = nn.Dense(D, dtype=dt, name="v_proj")(memory)
         rng = None
-        attn_drop = 0.1  # cross_attention_lyx(dropout=0.1), v10.py:848
+        # cross_attention_lyx(dropout=0.1) at v10.py:848 — the reference
+        # hardcodes 0.1, which equals its configs' attention dropout; we
+        # thread the config knob so it stays tunable (VERDICT r1 #8).
+        attn_drop = c.attention_probs_dropout_prob
         if not deterministic:
             rng = self.make_rng("dropout")
         if self.tau != 1.0 or self.neg_type or prior_score is not None:

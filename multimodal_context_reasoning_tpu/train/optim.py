@@ -81,12 +81,36 @@ def make_optimizer(
     schedule = make_schedule(cfg, total_steps)
 
     def adamw(lr_scale: float) -> optax.GradientTransformation:
+        # weight_decay defaults to 0.0: the reference parses --weight_decay
+        # (0.05) but never passes it to AdamW (run_PMR_ModCR.py:137), so it
+        # trains with transformers.AdamW's default 0.0 — the flag is dead.
+        # When decay IS requested here, LayerNorm scales/biases and biases
+        # are masked out (torch AdamW convention no framework decays them).
+        decay = cfg.weight_decay
+        if decay == 0.0:
+            return optax.adamw(
+                learning_rate=lambda step: cfg.learning_rate * lr_scale * schedule(step),
+                b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_epsilon,
+                weight_decay=0.0,
+            )
+
+        def decay_mask(params):
+            def is_decayed(path, leaf):
+                name = _path_name(path)
+                return not (
+                    name.endswith("/bias")
+                    or name.endswith("/scale")           # LayerNorm scale
+                    or "layer_norm" in name
+                    or "LayerNorm" in name
+                    or leaf.ndim <= 1                    # biases, LN params
+                )
+
+            return jax.tree_util.tree_map_with_path(is_decayed, params)
+
         return optax.adamw(
             learning_rate=lambda step: cfg.learning_rate * lr_scale * schedule(step),
-            b1=cfg.adam_b1,
-            b2=cfg.adam_b2,
-            eps=cfg.adam_epsilon,
-            weight_decay=cfg.weight_decay,
+            b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_epsilon,
+            weight_decay=decay, mask=decay_mask,
         )
 
     labels = label_params(

@@ -108,6 +108,11 @@ class Trainer:
         return correct / max(count, 1.0)
 
     def fit(self, state: Optional[TrainState] = None) -> TrainState:
+        """Train loop with NO host syncs on the micro-step path: per-step
+        metrics are summed into one device-resident accumulator (three tiny
+        async adds per step) and fetched only at validation points and epoch
+        ends — on a high-latency device link a per-step ``float()`` readback
+        costs ~95 ms/step (BENCHMARKS.md)."""
         if state is None:
             state = self.init_state()
         state = self.resume(state)
@@ -115,6 +120,22 @@ class Trainer:
         meter = MetricLogger()
         accum = self.cfg.gradient_accumulation_steps
         micro = 0
+        sums: Optional[Dict[str, jnp.ndarray]] = None
+        since_fetch = 0
+
+        def drain_sums():
+            """One synchronization point: fold the device sums into the
+            meter as window averages."""
+            nonlocal sums, since_fetch
+            if sums is None or since_fetch == 0:
+                return
+            fetched = {k: float(v) for k, v in sums.items()}
+            meter.update(
+                loss=fetched["loss"] / since_fetch,
+                acc=fetched["correct"] / max(fetched["count"], 1.0),
+            )
+            sums = None
+            since_fetch = 0
 
         for epoch in range(self.num_epochs):
             if hasattr(self.train_loader, "set_epoch"):
@@ -125,10 +146,11 @@ class Trainer:
                     state, _device_batch(batch), step_rng
                 )
                 micro += 1
-                meter.update(
-                    loss=metrics["loss"],
-                    acc=float(metrics["correct"]) / max(float(metrics["count"]), 1),
+                sums = (
+                    metrics if sums is None
+                    else {k: sums[k] + metrics[k] for k in sums}
                 )
+                since_fetch += 1
                 if micro % accum != 0:
                     continue
                 opt_step = micro // accum
@@ -137,9 +159,11 @@ class Trainer:
                     and epoch >= self.cfg.epoch_begin - 1
                     and opt_step % self.cfg.valid_steps == 0
                 ):
+                    drain_sums()
                     acc = self.evaluate(state.params)
                     self.logger.info(
-                        "epoch %d step %d: val accuracy %.4f", epoch + 1, opt_step, acc
+                        "epoch %d step %d: val accuracy %.4f (train %s)",
+                        epoch + 1, opt_step, acc, meter,
                     )
                     if acc > self.best_acc:
                         self.best_acc = acc
@@ -147,6 +171,7 @@ class Trainer:
                             self.ckpt.save(state, {"accuracy": acc})
                 if self.cfg.max_steps > 0 and opt_step >= self.cfg.max_steps:
                     break
+            drain_sums()
             self.logger.info("epoch %d done: %s", epoch + 1, meter)
         if self.ckpt is not None:
             self.ckpt.wait()

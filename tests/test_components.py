@@ -152,6 +152,33 @@ class TestFeatureStore:
                 fs["missing"]
             fs.close()
 
+    def test_native_view_is_readonly_and_anchors_reader(self, tmp_path):
+        """ADVICE r1: the native zero-copy view must refuse in-place writes
+        (PROT_READ mapping) and keep the mmap owner alive."""
+        from multimodal_context_reasoning_tpu.data.feature_store import (
+            _find_native_lib,
+        )
+
+        if _find_native_lib() is None:
+            pytest.skip("native lib not built")
+        rng = np.random.default_rng(0)
+        data = {"img-0": rng.normal(size=(3, 8)).astype(np.float32)}
+        path = str(tmp_path / "f.mcrpack")
+        write_pack(data, path)
+        fs = FeatureStore(path, prefer_native=True)
+        assert fs.native
+        arr = fs["img-0"].features
+        assert not arr.flags.writeable
+        with pytest.raises((ValueError, RuntimeError)):
+            arr[0, 0] = 1.0
+        # the view carries a reference chain back to the reader
+        base = arr
+        while getattr(base, "base", None) is not None and getattr(
+            base, "_mcr_reader", None) is None:
+            base = base.base
+        assert getattr(base, "_mcr_reader", None) is not None
+        fs.close()
+
 
 class TestPromptfuse:
     def test_promptfuse_prefix_mode(self):
