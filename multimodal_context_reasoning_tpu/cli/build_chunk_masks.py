@@ -30,7 +30,7 @@ import numpy as np
 
 from multimodal_context_reasoning_tpu.data.chunker import (
     HeuristicChunker,
-    chunks_from_bio,
+    reference_mask_and_offsets,
 )
 from multimodal_context_reasoning_tpu.data.pmr import load_pmr_jsonl
 from multimodal_context_reasoning_tpu.data.tokenization import HashTokenizer
@@ -50,6 +50,36 @@ def dense_mask_from_offsets(offsets: List[List[int]], length: int) -> np.ndarray
                 if a < length and b < length:
                     m[a, b] = 1.0
     return m
+
+
+def make_hf_tag_fn(chunker_dir: str):
+    """BIO tagger from a local HF token-classification checkpoint.
+
+    Reference path (GetChunk_v4_vcr.py:20-22,93-96): the builder feeds its
+    OWN wordpiece ids straight into BERT + the CoNLL-2000 chunking adapter
+    and argmaxes per-position logits — no re-tokenization.  We do the same:
+    tokens are converted with the chunker's tokenizer (unknown pieces → UNK)
+    and per-position labels come from ``config.id2label``.
+    """
+    import torch
+    from transformers import AutoModelForTokenClassification, AutoTokenizer
+
+    model = AutoModelForTokenClassification.from_pretrained(chunker_dir)
+    model.eval()
+    ctok = AutoTokenizer.from_pretrained(chunker_dir)
+    id2label = model.config.id2label
+    unk = ctok.unk_token_id if ctok.unk_token_id is not None else 0
+
+    def tag_fn(tokens):
+        ids = [
+            i if i is not None else unk
+            for i in ctok.convert_tokens_to_ids(list(tokens))
+        ]
+        with torch.no_grad():
+            logits = model(torch.tensor([ids])).logits[0]
+        return [str(id2label[int(c)]) for c in logits.argmax(-1).tolist()]
+
+    return tag_fn
 
 
 def main(argv=None):
@@ -78,21 +108,7 @@ def main(argv=None):
 
     tag_fn = None
     if args.chunker_dir:
-        from transformers import pipeline
-
-        tagger = pipeline("token-classification", model=args.chunker_dir)
-
-        def tag_fn(tokens):
-            # map the chunker's entity tags onto B/I/O over our tokens
-            text = " ".join(tokens)
-            ents = tagger(text)
-            tags = ["O"] * len(tokens)
-            for e in ents:
-                lab = e.get("entity", "O")
-                idx = min(e.get("index", 1) - 1, len(tokens) - 1)
-                tags[idx] = "B" if lab.startswith("B") else (
-                    "I" if lab.startswith("I") else "O")
-            return tags
+        tag_fn = make_hf_tag_fn(args.chunker_dir)
 
     chunker = HeuristicChunker(tag_fn)
     out = {}
@@ -105,13 +121,11 @@ def main(argv=None):
                 + ans_toks + [tok.sep_token]
             L = len(toks)
             body = toks[1:L - 1]
-            chunks = chunks_from_bio(chunker.tag_fn(body))
-            offsets = [[pos + 1 for pos in ch] for ch in chunks]
             if args.format == "reference":
-                per_candidate.append({
-                    "mask": dense_mask_from_offsets(offsets, L),
-                    "offsets": offsets,
-                })
+                mask, offsets = reference_mask_and_offsets(
+                    chunker.tag_fn(body)
+                )
+                per_candidate.append({"mask": mask, "offsets": offsets})
             else:
                 per_candidate.append(chunker.gather_index(
                     body, offset=1, total_len=L

@@ -57,26 +57,71 @@ def heuristic_bio_tags(tokens: Sequence[str]) -> List[str]:
 def chunks_from_bio(tags: Sequence[str]) -> List[List[int]]:
     """B/I/O tags (one per token) → list of position lists (chunk offsets).
 
-    Only multi-token structure matters for the mask; singleton chunks are
-    kept (they contribute an identity row, same as the reference's offsets
-    which list every chunk).
+    Exact transcription of the reference builder's grouping loop
+    (utils/GetChunk_v4_vcr.py:117-141), including its three quirks:
+
+    - a *dangling I* (no open chunk) STARTS a chunk (:126-129 appends to the
+      empty ``tmp_chunk``);
+    - an O token whose successor is I while a chunk is open is *bridged*
+      into that chunk (:131-136); the last interior position never bridges;
+    - a singleton O does NOT flush the open chunk (:137-138 only records the
+      singleton), so a later I can resume the pre-O chunk.
+
+    Tags may be bare ("B") or typed ("B-NP"); only the first letter is read,
+    as the reference does (``token_class[0]``).  Singleton O positions are
+    not returned (they carry no block structure — identity row either way).
     """
     chunks: List[List[int]] = []
     cur: List[int] = []
+    n = len(tags)
     for i, tag in enumerate(tags):
-        if tag == "B":
+        head = tag[0].upper() if tag else "O"
+        if head == "B":
             if cur:
                 chunks.append(cur)
             cur = [i]
-        elif tag == "I" and cur:
+        elif head == "I":
             cur.append(i)
-        else:  # O or dangling I
-            if cur:
-                chunks.append(cur)
-                cur = []
+        else:  # O
+            if i != n - 1 and cur and tags[i + 1][:1].upper() == "I":
+                cur.append(i)
+            # else: singleton; the open chunk stays open (reference :138)
     if cur:
         chunks.append(cur)
     return chunks
+
+
+def reference_mask_and_offsets(tags: Sequence[str]):
+    """BIO tags over the INTERIOR positions (everything between CLS and the
+    final SEP) → the reference's pickled ``{mask, offsets}`` pair
+    (utils/GetChunk_v4_vcr.py:104-159):
+
+    - ``mask``: [L, L] float32, ``L = len(tags) + 2``; identity base, chunk
+      cliques, all-visible ROWS (never columns) for CLS (0) and the final
+      SEP (L-1);
+    - ``offsets``: every interior position exactly once, grouped by chunk
+      (singletons as ``[i]``), ordered by first member — rebuilt from the
+      mask rows exactly as the builder's ``sort_chunk_offset`` loop
+      (:142-148), including its coverage assert.
+    """
+    L = len(tags) + 2
+    mask = np.eye(L, dtype=np.float32)
+    mask[0, :] = 1.0
+    for members in chunks_from_bio(tags):
+        for a in members:
+            for b in members:
+                mask[a + 1, b + 1] = 1.0
+    mask[L - 1, :] = 1.0
+
+    offsets: List[List[int]] = []
+    seen: set = set()
+    for i in range(1, L - 1):
+        members = np.nonzero(mask[i])[0].tolist()
+        if members[0] not in seen:
+            offsets.append(members)
+            seen.update(members)
+    assert len(seen) == L - 2, "every interior token must appear exactly once"
+    return mask, offsets
 
 
 class HeuristicChunker:
