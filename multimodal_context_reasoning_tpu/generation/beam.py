@@ -77,6 +77,148 @@ class BeamState(NamedTuple):
     rng: jax.Array
 
 
+class BeamContext(NamedTuple):
+    """Static per-run inputs of one beam-advance (factored out of
+    constrained_beam_sample so tests can drive :func:`beam_select_step`
+    directly against a transcription of the reference scorer)."""
+
+    p_ids: jnp.ndarray          # [N, Lp] beam-expanded prompt ids
+    prompt_valid: jnp.ndarray   # [N, Lp] real-prompt-token mask
+    prompt_len: jnp.ndarray     # [B] per-example real prompt length
+    cmask: jnp.ndarray          # [B, V] constraint-token mask
+    eos_id: int
+    num_beams: int
+    constraint_factor: float
+    repetition_penalty: float
+    top_k: int
+    length_penalty: float
+
+
+def beam_select_step(state: BeamState, logp_raw: jnp.ndarray,
+                     ctx: BeamContext) -> BeamState:
+    """One beam-advance given next-token log-probs [N, V].
+
+    Selection semantics transcribe ``BeamSearchScorer_constrained.process``
+    + ``BeamHypotheses.add/is_done`` (v10.py:1794-1966), vectorized:
+
+    - candidates are 2K Gumbel-top-k samples (torch.multinomial without
+      replacement) sorted by raw score desc (beam_sample, v10.py:2194-2320);
+    - an EOS candidate ranked in the top K finalizes a hypothesis scored
+      ``sum_logprobs / (prompt_len + t) ** length_penalty`` — the reference
+      normalizes by the FULL input_ids length, prompt included
+      (BeamHypotheses.add, :1817);
+    - non-EOS candidates fill beam slots in order; a constraint token's
+      score is multiplied by ``constraint_factor`` AFTER selection
+      (:1943-1944), compounding into later steps;
+    - a batch is done when K hypotheses exist and the worst kept score
+      beats the step's RAW best candidate score normalized at the current
+      length (is_done, :1826-1839 — pre-boost, pre-selection max).
+    """
+    K = ctx.num_beams
+    B, V = ctx.cmask.shape
+    N = B * K
+    L_total = state.seqs.shape[-1]
+    t = state.cur_len
+
+    gen = state.seqs.reshape(N, L_total)
+    gen_valid = jnp.broadcast_to(
+        jnp.arange(L_total)[None, :] < t, (N, L_total)
+    )
+    full_seq = jnp.concatenate([ctx.p_ids, gen], axis=1)
+    full_valid = jnp.concatenate([ctx.prompt_valid, gen_valid], axis=1)
+    logp = apply_repetition_penalty(
+        logp_raw, full_seq, full_valid, ctx.repetition_penalty
+    )
+    scores = logp + state.beam_scores.reshape(N)[:, None]        # [N, V]
+    scores = top_k_warp(scores, ctx.top_k)
+    flat = scores.reshape(B, K * V)
+
+    # Sample 2K without replacement: Gumbel perturb, take top-2K by the
+    # perturbed value, then order the winners by raw score desc.
+    rng, sub = jax.random.split(state.rng)
+    g = jax.random.gumbel(sub, flat.shape, flat.dtype)
+    _, idx = jax.lax.top_k(flat + g, 2 * K)                      # [B, 2K]
+    cand_scores = jnp.take_along_axis(flat, idx, axis=1)
+    order = jnp.argsort(-cand_scores, axis=1)
+    idx = jnp.take_along_axis(idx, order, axis=1)
+    cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
+    origin = idx // V                                            # [B, 2K]
+    token = idx % V
+
+    is_eos = token == ctx.eos_id
+    rank = jnp.broadcast_to(jnp.arange(2 * K)[None], (B, 2 * K))
+
+    # Reference length base: prompt + generated-so-far (input_ids.shape[-1]
+    # at process() time — the EOS itself is never appended).
+    hyp_len = jnp.maximum(
+        ctx.prompt_len.astype(jnp.float32) + t.astype(jnp.float32), 1.0
+    )[:, None]                                                   # [B, 1]
+
+    # ---- Finished pool: EOS candidates ranked in the top K
+    # (process(): worse-than-top-K EOS is dropped, :1934-1937).
+    eos_scores = jnp.where(
+        is_eos & (rank < K),
+        cand_scores / (hyp_len ** ctx.length_penalty),
+        NEG,
+    )                                                            # [B, 2K]
+    cand_seqs = jnp.take_along_axis(
+        state.seqs, origin[..., None], axis=1
+    )                                                            # [B, 2K, L]
+    pool_scores = jnp.concatenate([state.fin_scores, eos_scores], axis=1)
+    pool_seqs = jnp.concatenate([state.fin_seqs, cand_seqs], axis=1)
+    top_scores, top_idx = jax.lax.top_k(pool_scores, K)
+    new_fin_seqs = jnp.take_along_axis(pool_seqs, top_idx[..., None], axis=1)
+    new_fin_count = jnp.minimum(
+        state.fin_count + jnp.sum(eos_scores > NEG, axis=1), K
+    )
+    # frozen batches keep their pool untouched
+    keep = state.done[:, None]
+    new_fin_scores = jnp.where(keep, state.fin_scores, top_scores)
+    new_fin_seqs = jnp.where(keep[..., None], state.fin_seqs, new_fin_seqs)
+    new_fin_count = jnp.where(state.done, state.fin_count, new_fin_count)
+
+    # ---- Next beams: first K non-EOS candidates in sorted order.
+    open_scores = jnp.where(is_eos, NEG, cand_scores)
+    k_scores, k_idx = jax.lax.top_k(open_scores, K)              # [B, K]
+    k_token = jnp.take_along_axis(token, k_idx, axis=1)
+    k_origin = jnp.take_along_axis(origin, k_idx, axis=1)
+    # constraint boost AFTER selection (reference boosts the score it
+    # writes into next_beam_scores, :1943-1944)
+    boosted = jnp.take_along_axis(ctx.cmask, k_token, axis=1)
+    k_scores = jnp.where(boosted, k_scores * ctx.constraint_factor, k_scores)
+
+    # reorder sequences + append token (frozen batches: no-op)
+    new_seqs = jnp.take_along_axis(state.seqs, k_origin[..., None], axis=1)
+    new_seqs = jax.lax.dynamic_update_slice(
+        new_seqs, k_token[..., None], (0, 0, t)
+    )
+    new_seqs = jnp.where(keep[..., None], state.seqs, new_seqs)
+    new_scores = jnp.where(keep, state.beam_scores, k_scores)
+
+    # reorder the KV cache by beam origin (global row ids)
+    rows = (jnp.arange(B)[:, None] * K + k_origin).reshape(N)
+    new_cache = KVCache(state.cache.k[:, rows], state.cache.v[:, rows])
+
+    # done test (is_done, early_stopping=False, :1826-1839): K hypotheses
+    # kept and the worst can no longer be beaten by the step's RAW best
+    # candidate score (pre-boost, pre-selection) at the CURRENT length.
+    cur_score = cand_scores[:, 0] / (hyp_len[:, 0] ** ctx.length_penalty)
+    worst_kept = jnp.min(new_fin_scores, axis=1)
+    newly_done = (new_fin_count >= K) & (worst_kept >= cur_score)
+
+    return BeamState(
+        seqs=new_seqs,
+        beam_scores=new_scores,
+        cache=new_cache,
+        cur_len=t + 1,
+        fin_seqs=new_fin_seqs,
+        fin_scores=new_fin_scores,
+        fin_count=new_fin_count,
+        done=state.done | newly_done,
+        rng=rng,
+    )
+
+
 def constrained_beam_sample(
     model: GPT2Decoder,
     params,
@@ -142,108 +284,14 @@ def constrained_beam_sample(
     # the logits_processor, v10.py:2255)
     prompt_valid = jnp.arange(Lp)[None, :] < p_len[:, None]      # [N, Lp]
 
-    def select(state: BeamState, logp_raw: jnp.ndarray) -> BeamState:
-        """One beam-advance given next-token log-probs [N, V]."""
-        t = state.cur_len
-        gen = state.seqs.reshape(N, L_total)
-        gen_valid = jnp.broadcast_to(
-            jnp.arange(L_total)[None, :] < t, (N, L_total)
-        )
-        full_seq = jnp.concatenate([p_ids, gen], axis=1)
-        full_valid = jnp.concatenate([prompt_valid, gen_valid], axis=1)
-        logp = apply_repetition_penalty(
-            logp_raw, full_seq, full_valid, repetition_penalty
-        )
-        scores = logp + state.beam_scores.reshape(N)[:, None]    # [N, V]
-        scores = top_k_warp(scores, top_k)
-        flat = scores.reshape(B, K * V)
-
-        # Sample 2K without replacement: Gumbel perturb, take top-2K by the
-        # perturbed value, then order the winners by raw score desc.
-        rng, sub = jax.random.split(state.rng)
-        g = jax.random.gumbel(sub, flat.shape, flat.dtype)
-        _, idx = jax.lax.top_k(flat + g, 2 * K)                  # [B, 2K]
-        cand_scores = jnp.take_along_axis(flat, idx, axis=1)
-        order = jnp.argsort(-cand_scores, axis=1)
-        idx = jnp.take_along_axis(idx, order, axis=1)
-        cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
-        origin = idx // V                                        # [B, 2K]
-        token = idx % V
-
-        is_eos = token == eos_id
-        rank = jnp.broadcast_to(jnp.arange(2 * K)[None], (B, 2 * K))
-
-        # ---- Finished pool: EOS candidates ranked in the top K
-        # (BeamSearchScorer.process: worse-than-top-K EOS is dropped).
-        hyp_len = jnp.maximum(t, 1).astype(jnp.float32)
-        eos_scores = jnp.where(
-            is_eos & (rank < K),
-            cand_scores / (hyp_len ** length_penalty),
-            NEG,
-        )                                                        # [B, 2K]
-        # candidate sequences = origin beam's prefix (no EOS appended,
-        # matching BeamHypotheses.add receiving the pre-EOS input_ids)
-        cand_seqs = jnp.take_along_axis(
-            state.seqs, origin[..., None], axis=1
-        )                                                        # [B, 2K, L]
-        # merge into the kept-K pool
-        pool_scores = jnp.concatenate([state.fin_scores, eos_scores], axis=1)
-        pool_seqs = jnp.concatenate([state.fin_seqs, cand_seqs], axis=1)
-        top_scores, top_idx = jax.lax.top_k(pool_scores, K)
-        new_fin_seqs = jnp.take_along_axis(pool_seqs, top_idx[..., None], axis=1)
-        new_fin_count = jnp.minimum(
-            state.fin_count + jnp.sum(eos_scores > NEG, axis=1), K
-        )
-        # frozen batches keep their pool untouched
-        keep = state.done[:, None]
-        new_fin_scores = jnp.where(keep, state.fin_scores, top_scores)
-        new_fin_seqs = jnp.where(keep[..., None], state.fin_seqs, new_fin_seqs)
-        new_fin_count = jnp.where(state.done, state.fin_count, new_fin_count)
-
-        # ---- Next beams: first K non-EOS candidates in sorted order.
-        open_scores = jnp.where(is_eos, NEG, cand_scores)
-        k_scores, k_idx = jax.lax.top_k(open_scores, K)          # [B, K]
-        k_token = jnp.take_along_axis(token, k_idx, axis=1)
-        k_origin = jnp.take_along_axis(origin, k_idx, axis=1)
-        # constraint boost AFTER selection (reference boosts the score it
-        # writes into next_beam_scores, :1943-1944)
-        boosted = jnp.take_along_axis(cmask, k_token, axis=1)
-        k_scores = jnp.where(boosted, k_scores * constraint_factor, k_scores)
-
-        # reorder sequences + append token (frozen batches: no-op)
-        new_seqs = jnp.take_along_axis(state.seqs, k_origin[..., None], axis=1)
-        new_seqs = jax.lax.dynamic_update_slice(
-            new_seqs, k_token[..., None], (0, 0, t)
-        )
-        new_seqs = jnp.where(keep[..., None], state.seqs, new_seqs)
-        new_scores = jnp.where(keep, state.beam_scores, k_scores)
-
-        # reorder the KV cache by beam origin (global row ids)
-        rows = (jnp.arange(B)[:, None] * K + k_origin).reshape(N)
-        def gather_rows(x):  # [n_layer, N, L, H, Dh]
-            return x[:, rows]
-        new_cache = KVCache(gather_rows(state.cache.k), gather_rows(state.cache.v))
-
-        # done test (BeamHypotheses.is_done, early_stopping=False): the pool
-        # holds K hyps and the best open continuation cannot beat the worst
-        # kept score.
-        best_possible = jnp.max(new_scores, axis=1) / (
-            jnp.maximum(t + 1, 1).astype(jnp.float32) ** length_penalty
-        )
-        worst_kept = jnp.min(new_fin_scores, axis=1)
-        newly_done = (new_fin_count >= K) & (worst_kept >= best_possible)
-
-        return BeamState(
-            seqs=new_seqs,
-            beam_scores=new_scores,
-            cache=new_cache,
-            cur_len=t + 1,
-            fin_seqs=new_fin_seqs,
-            fin_scores=new_fin_scores,
-            fin_count=new_fin_count,
-            done=state.done | newly_done,
-            rng=rng,
-        )
+    ctx = BeamContext(
+        p_ids=p_ids, prompt_valid=prompt_valid, prompt_len=prompt_len,
+        cmask=cmask, eos_id=eos_id, num_beams=K,
+        constraint_factor=constraint_factor,
+        repetition_penalty=repetition_penalty,
+        top_k=top_k, length_penalty=length_penalty,
+    )
+    select = lambda state, logp: beam_select_step(state, logp, ctx)
 
     # first advance uses the prefill logits
     state = select(state, jax.nn.log_softmax(last_logits.astype(jnp.float32)))
@@ -268,10 +316,12 @@ def constrained_beam_sample(
 
     state = jax.lax.while_loop(cond, body, state)
 
-    # ---- Finalize: open beams fill remaining pool slots (scorer.finalize).
-    final_open = state.beam_scores / (
-        jnp.maximum(state.cur_len, 1).astype(jnp.float32) ** length_penalty
-    )
+    # ---- Finalize: open beams fill remaining pool slots (scorer.finalize,
+    # v10.py:1975+) — scored at the reference's prompt-inclusive length.
+    final_len = jnp.maximum(
+        prompt_len.astype(jnp.float32) + state.cur_len.astype(jnp.float32), 1.0
+    )[:, None]
+    final_open = state.beam_scores / (final_len ** length_penalty)
     pool_scores = jnp.concatenate([state.fin_scores, final_open], axis=1)
     pool_seqs = jnp.concatenate([state.fin_seqs, state.seqs], axis=1)
     best = jnp.argmax(pool_scores, axis=1)                       # [B]

@@ -375,3 +375,173 @@ class TestDecodeOracle:
                 break
             rng, sub = jax.random.split(rng)
             cur = pick(sub, self._full_forward_last_logits(model, params, seqs, mem, mmask))
+
+
+class _RefBeamHypotheses:
+    """Numpy transcription of BeamHypotheses (v10.py:1794-1839)."""
+
+    def __init__(self, num_beams, length_penalty):
+        self.num_beams = num_beams
+        self.length_penalty = length_penalty
+        self.beams = []
+        self.worst_score = 1e9
+
+    def __len__(self):
+        return len(self.beams)
+
+    def add(self, hyp_len, sum_logprobs):
+        score = sum_logprobs / (hyp_len ** self.length_penalty)
+        if len(self) < self.num_beams or score > self.worst_score:
+            self.beams.append(score)
+            if len(self) > self.num_beams:
+                srt = sorted((s, i) for i, s in enumerate(self.beams))
+                del self.beams[srt[0][1]]
+                self.worst_score = srt[1][0]
+            else:
+                self.worst_score = min(score, self.worst_score)
+
+    def is_done(self, best_sum_logprobs, cur_len):
+        if len(self) < self.num_beams:
+            return False
+        return self.worst_score >= best_sum_logprobs / (
+            cur_len ** self.length_penalty
+        )
+
+
+class TestBeamScorerOracle:
+    """Per-step selection equality against a transcription of
+    BeamSearchScorer_constrained.process (v10.py:1892-1966): token ids,
+    origin beams, boosted scores, hypothesis pool, and done flags."""
+
+    def test_selection_matches_process_transcription(self):
+        from multimodal_context_reasoning_tpu.generation.beam import (
+            BeamContext,
+            BeamState,
+            beam_select_step,
+        )
+
+        B, K, V, Lp, steps = 2, 3, 12, 4, 4
+        pad_id, eos_id = 0, 1
+        N = B * K
+        L_total = Lp + steps
+        lp, factor = 1.0, 0.5
+        prompt_len = np.array([4, 3], np.int64)
+
+        cmask = np.zeros((B, V), bool)
+        cmask[0, 7] = cmask[0, 8] = True          # constraints: batch 0 only
+
+        ctx = BeamContext(
+            p_ids=jnp.asarray(np.repeat(
+                np.arange(2, 2 + Lp)[None].repeat(B, 0), K, axis=0)),
+            prompt_valid=jnp.asarray(np.repeat(
+                (np.arange(Lp)[None] < prompt_len[:, None]), K, axis=0
+            ).astype(bool)),
+            prompt_len=jnp.asarray(prompt_len),
+            cmask=jnp.asarray(cmask),
+            eos_id=eos_id, num_beams=K, constraint_factor=factor,
+            repetition_penalty=1.0, top_k=0, length_penalty=lp,
+        )
+        cache = KVCache(
+            jnp.zeros((1, N, L_total, 1, 1)), jnp.zeros((1, N, L_total, 1, 1))
+        )
+        state = BeamState(
+            seqs=jnp.full((B, K, L_total), pad_id, jnp.int32),
+            beam_scores=jnp.zeros((B, K), jnp.float32),
+            cache=cache,
+            cur_len=jnp.int32(0),
+            fin_seqs=jnp.full((B, K, L_total), pad_id, jnp.int32),
+            fin_scores=jnp.full((B, K), -1e9, jnp.float32),
+            fin_count=jnp.zeros((B,), jnp.int32),
+            done=jnp.zeros((B,), bool),
+            rng=jax.random.PRNGKey(42),
+        )
+
+        # ---- oracle state
+        hyps = [_RefBeamHypotheses(K, lp) for _ in range(B)]
+        o_scores = np.zeros((B, K), np.float64)
+        o_done = [False] * B
+        script = np.random.default_rng(9)
+
+        for t in range(steps):
+            logp = np.log(
+                script.dirichlet(np.ones(V), size=(N,))
+            ).astype(np.float32)                                  # [N, V]
+            prev = state
+            state = beam_select_step(state, jnp.asarray(logp), ctx)
+
+            # --- oracle: replay the candidate draw with the same rng
+            flat = (logp.astype(np.float64)
+                    + o_scores.reshape(N)[:, None]).reshape(B, K * V)
+            _, sub = jax.random.split(prev.rng)
+            g = np.asarray(jax.random.gumbel(
+                sub, (B, K * V), jnp.float32), np.float64)
+            top = np.argsort(-(flat.astype(np.float32) + g.astype(np.float32)),
+                             axis=1)[:, : 2 * K]
+            cand_scores = np.take_along_axis(
+                flat.astype(np.float32), top, axis=1)
+            order = np.argsort(-cand_scores, axis=1)
+            top = np.take_along_axis(top, order, axis=1)
+            cand_scores = np.take_along_axis(cand_scores, order, axis=1)
+            tokens = top % V
+            origins = top // V
+
+            # --- transcription of process() per batch
+            sel_tok = np.zeros((B, K), np.int64)
+            sel_origin = np.zeros((B, K), np.int64)
+            sel_score = np.zeros((B, K), np.float64)
+            for b in range(B):
+                if o_done[b]:
+                    continue
+                cur_len = int(prompt_len[b]) + t
+                beam_idx = 0
+                for r in range(2 * K):
+                    tok, sc, org = int(tokens[b, r]), float(cand_scores[b, r]), int(origins[b, r])
+                    if tok == eos_id:
+                        if r >= K:
+                            continue
+                        hyps[b].add(cur_len, sc)
+                    else:
+                        if cmask[b, tok]:
+                            sc *= factor
+                        sel_tok[b, beam_idx] = tok
+                        sel_origin[b, beam_idx] = org
+                        sel_score[b, beam_idx] = sc
+                        beam_idx += 1
+                    if beam_idx == K:
+                        break
+                assert beam_idx == K
+                o_done[b] = o_done[b] or hyps[b].is_done(
+                    float(cand_scores[b].max()), cur_len
+                )
+
+            # --- compare implementation vs oracle (live batches)
+            got_tok = np.asarray(state.seqs)[:, :, t]
+            got_scores = np.asarray(state.beam_scores)
+            for b in range(B):
+                if o_done[b] and np.asarray(prev.done)[b]:
+                    # frozen: untouched
+                    np.testing.assert_array_equal(
+                        np.asarray(state.seqs)[b], np.asarray(prev.seqs)[b]
+                    )
+                    continue
+                np.testing.assert_array_equal(got_tok[b], sel_tok[b])
+                np.testing.assert_allclose(
+                    got_scores[b], sel_score[b], rtol=1e-5, atol=1e-6
+                )
+                # origin reordering: the new prefix equals the origin beam's
+                want_prefix = np.asarray(prev.seqs)[b][sel_origin[b], :t]
+                np.testing.assert_array_equal(
+                    np.asarray(state.seqs)[b, :, :t], want_prefix
+                )
+                o_scores[b] = sel_score[b]
+            np.testing.assert_array_equal(np.asarray(state.done), o_done)
+            # hypothesis pools: same kept scores (sorted)
+            fin = np.asarray(state.fin_scores)
+            for b in range(B):
+                kept = sorted(s for s in fin[b] if s > -1e8)
+                np.testing.assert_allclose(
+                    kept, sorted(hyps[b].beams), rtol=1e-5, atol=1e-6
+                )
+                assert int(np.asarray(state.fin_count)[b]) >= min(
+                    len(hyps[b].beams), 1
+                ) or len(hyps[b].beams) == 0
