@@ -201,11 +201,12 @@ class ModCRConfig:
     # exact aux-output parity.
     compute_alignment: bool = True
 
-    # Static batch geometry. text_len covers [CLS] premise [SEP] answer [SEP];
+    # Static batch geometry. text_len covers [CLS] premise [SEP] answer [SEP]
+    # at the reference's --max_seq_length default (run_PMR_ModCR.py:565);
     # img_len covers region features (dataset caps at 50,
     # Data/VCRChunkAlign.py:536; collate trims to batch max :710-712 — we pad
     # to a fixed cap instead).
-    text_len: int = 80
+    text_len: int = 140
     img_len: int = 50
     roberta_len: int = 128
     max_chunks: int = 40

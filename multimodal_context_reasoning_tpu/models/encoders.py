@@ -28,7 +28,12 @@ from multimodal_context_reasoning_tpu.models.layers import (
     Pooler,
     TransformerLayer,
 )
-from multimodal_context_reasoning_tpu.ops.masks import build_stage_biases, padding_bias
+from multimodal_context_reasoning_tpu.ops.masks import (
+    MaskSpec,
+    build_stage_biases,
+    padding_bias,
+    stage_mask_specs,
+)
 
 
 class ImageTextEmbeddings(nn.Module):
@@ -96,10 +101,19 @@ class GlobalImageEncoder(nn.Module):
             deterministic=deterministic,
         )
         bias = padding_bias(attention_mask)
+        # Compact mask for the fused Pallas path (dead code unless
+        # config.use_pallas routes attention through fused_attention_spec).
+        B, L = attention_mask.shape
+        spec = MaskSpec(
+            "full", attention_mask.astype(jnp.float32),
+            jnp.full((B, L), -1, jnp.int32), jnp.zeros((B, L), jnp.float32),
+            int(input_ids.shape[1]),
+        )
         probs_all = []
         for i in range(c.num_hidden_layers):
             h, probs = TransformerLayer(c, name=f"layer_{i}")(
-                h, bias, deterministic=deterministic, return_probs=output_attentions
+                h, bias, mask_spec=spec,
+                deterministic=deterministic, return_probs=output_attentions
             )
             if output_attentions:
                 probs_all.append(probs)
@@ -165,6 +179,14 @@ class ChunkAlignEncoder(nn.Module):
         bias_chunk, bias_full, bias_cross = build_stage_biases(
             text_mask, img_mask, chunk_mask
         )
+        # Compact per-stage specs for the fused Pallas path.  These derive
+        # from gather_index; the data pipeline's dense chunk_mask is always
+        # gather-derived too (bit-equality proven in
+        # tests/test_chunker_parity.py), so both mask forms agree.  XLA
+        # eliminates whichever form the dispatch does not use.
+        spec_chunk, spec_full, spec_cross = stage_mask_specs(
+            text_mask, img_mask, gather_index
+        )
         # Pad the text-only gather_index over the image positions (-1 = keep).
         full_gather = jnp.concatenate(
             [gather_index, jnp.full((B, I), -1, dtype=gather_index.dtype)], axis=1
@@ -174,11 +196,11 @@ class ChunkAlignEncoder(nn.Module):
         probs_cross = []
         for i in range(c.num_hidden_layers):
             if i < s.chunk_layers_end:
-                bias, cq = bias_chunk, None
+                bias, cq, spec = bias_chunk, None, spec_chunk
             elif i < s.full_layers_end:
-                bias, cq = bias_full, None
+                bias, cq, spec = bias_full, None, spec_full
             else:
-                bias, cq = bias_cross, full_gather
+                bias, cq, spec = bias_cross, full_gather, spec_cross
                 if i == s.full_layers_end:
                     chunk_hidden = h
             is_cross = i >= s.full_layers_end
@@ -186,6 +208,7 @@ class ChunkAlignEncoder(nn.Module):
                 h, bias,
                 chunk_query_index=cq,
                 num_chunks=num_chunks,
+                mask_spec=spec,
                 deterministic=deterministic,
                 return_probs=is_cross and output_attentions,
             )

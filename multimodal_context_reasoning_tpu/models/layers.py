@@ -23,11 +23,13 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from multimodal_context_reasoning_tpu.core.config import EncoderConfig
 from multimodal_context_reasoning_tpu.ops.attention import dot_product_attention
 from multimodal_context_reasoning_tpu.ops.chunk import chunk_mean_scatter
+from multimodal_context_reasoning_tpu.ops.masks import MaskSpec
 
 ACT = {
     "gelu": nn.gelu,
@@ -92,6 +94,7 @@ class SelfAttention(nn.Module):
         prefix_kv: Optional[jnp.ndarray] = None,   # [B, P, D] raw hidden vectors
         chunk_query_index: Optional[jnp.ndarray] = None,  # [B, L] ids, -1 = keep
         num_chunks: int = 0,
+        mask_spec: Optional[MaskSpec] = None,      # compact mask (pallas path)
         deterministic: bool = True,
         return_probs: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
@@ -121,9 +124,25 @@ class SelfAttention(nn.Module):
         v = v.reshape(B, Lk, H, Dh)
 
         needs_dropout = not deterministic and c.attention_probs_dropout_prob > 0.0
-        if c.use_pallas and not return_probs and not needs_dropout:
-            # Fused Pallas kernel: no [L, L] scores in HBM. Falls back to the
-            # einsum path automatically on CPU (ops/pallas_attention.py).
+        if (c.use_pallas and mask_spec is not None and not return_probs
+                and not needs_dropout and jax.default_backend() != "cpu"):
+            # Fully fused kernel: the stage mask is rebuilt on the VPU from
+            # O(L) vectors — neither the [L, L] bias nor the [L, L] scores
+            # ever touch HBM (ops/pallas_attention.py:fused_attention_spec).
+            # Any dense `bias` also passed is dead code XLA eliminates.
+            from multimodal_context_reasoning_tpu.ops.pallas_attention import (
+                fused_attention_spec,
+            )
+
+            out = fused_attention_spec(
+                q, k, v, mask_spec.valid, mask_spec.gi, mask_spec.rowfull,
+                stage=mask_spec.stage, text_len=mask_spec.text_len,
+            )
+            probs = None
+        elif c.use_pallas and not return_probs and not needs_dropout:
+            # Fused Pallas kernel (dense bias): no [L, L] scores in HBM.
+            # Falls back to the einsum path automatically on CPU
+            # (ops/pallas_attention.py).
             from multimodal_context_reasoning_tpu.ops.pallas_attention import (
                 attention as fused,
             )
@@ -180,6 +199,7 @@ class TransformerLayer(nn.Module):
         prefix_kv: Optional[jnp.ndarray] = None,
         chunk_query_index: Optional[jnp.ndarray] = None,
         num_chunks: int = 0,
+        mask_spec: Optional[MaskSpec] = None,
         deterministic: bool = True,
         return_probs: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
@@ -188,6 +208,7 @@ class TransformerLayer(nn.Module):
             prefix_kv=prefix_kv,
             chunk_query_index=chunk_query_index,
             num_chunks=num_chunks,
+            mask_spec=mask_spec,
             deterministic=deterministic,
             return_probs=return_probs,
         )

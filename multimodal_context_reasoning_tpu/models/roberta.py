@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from multimodal_context_reasoning_tpu.core.config import RobertaConfig
 from multimodal_context_reasoning_tpu.models.layers import BertEmbeddings, Pooler, TransformerLayer
 from multimodal_context_reasoning_tpu.core.config import EncoderConfig
-from multimodal_context_reasoning_tpu.ops.masks import NEG_INF
+from multimodal_context_reasoning_tpu.ops.masks import NEG_INF, MaskSpec
 
 
 def roberta_position_ids(input_ids: jnp.ndarray, pad_token_id: int) -> jnp.ndarray:
@@ -113,10 +113,25 @@ class PrefixRoberta(nn.Module):
                     h, bias, prompt_embeddings,
                 )
         else:
+            # Compact mask over the prefixed KV stream [P + L] for the fused
+            # Pallas path (stage "full": only column validity matters).
+            B, L = input_ids.shape
+            if prompt_embeddings is not None:
+                kv_valid = jnp.concatenate(
+                    [prompt_mask.astype(jnp.float32),
+                     attention_mask.astype(jnp.float32)], axis=-1)
+            else:
+                kv_valid = attention_mask.astype(jnp.float32)
+            Lk = kv_valid.shape[1]
+            spec = MaskSpec(
+                "full", kv_valid, jnp.full((B, Lk), -1, jnp.int32),
+                jnp.zeros((B, Lk), jnp.float32), L,
+            )
             for i in range(c.num_hidden_layers):
                 h, _ = TransformerLayer(ec, name=f"layer_{i}")(
                     h, bias,
                     prefix_kv=prompt_embeddings,
+                    mask_spec=spec,
                     deterministic=deterministic,
                 )
         pooled = Pooler(c.hidden_size, dtype=c.jnp_dtype, name="pooler")(h)

@@ -15,9 +15,69 @@ modeling_transfomres.py:641).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
 NEG_INF = -10000.0
+
+
+class MaskSpec(NamedTuple):
+    """Compact encoding of one stage's attention mask.
+
+    The dense ``[B, 1, L, L]`` stage biases cost O(L²) HBM per example and —
+    on the Pallas path — one [BLOCK_Q, L] plane fetch per (batch, head,
+    q-block) program.  Every mask in the ChunkAlign schedule is however a
+    pure function of three per-token vectors, so the fused kernel
+    (ops/pallas_attention.py:fused_attention_spec) rebuilds the bias on the
+    VPU from O(L) inputs instead:
+
+    - ``valid``  [B, L]: real-token mask over the joint text‖image stream
+      (column visibility);
+    - ``gi``     [B, L]: phrase-chunk id per text position, -1 outside
+      chunks and everywhere in the image block;
+    - ``rowfull``[B, L]: all-visible rows — CLS (position 0) and the final
+      real text position (the builder's row-only rule,
+      utils/GetChunk_v4_vcr.py:112,141).
+
+    ``stage`` ("chunk" | "full" | "cross") and ``text_len`` are static.
+    """
+
+    stage: str
+    valid: jnp.ndarray
+    gi: jnp.ndarray
+    rowfull: jnp.ndarray
+    text_len: int
+
+
+def stage_mask_specs(
+    text_mask: jnp.ndarray,     # [B, T]
+    img_mask: jnp.ndarray,      # [B, I]
+    gather_index: jnp.ndarray,  # [B, T] chunk ids, -1 outside
+):
+    """(spec_chunk, spec_full, spec_cross) — vector form of
+    :func:`build_stage_biases` for gather-index-derived chunk masks.
+    Parity with the dense biases is asserted in tests/test_pallas.py."""
+    B, T = text_mask.shape
+    I = img_mask.shape[1]
+    valid = jnp.concatenate(
+        [text_mask.astype(jnp.float32), img_mask.astype(jnp.float32)], axis=-1
+    )
+    gi = jnp.concatenate(
+        [gather_index.astype(jnp.int32),
+         jnp.full((B, I), -1, jnp.int32)], axis=-1
+    )
+    pos = jnp.arange(T, dtype=jnp.int32)[None]
+    lengths = jnp.sum(text_mask.astype(jnp.int32), axis=1)
+    row_t = ((pos == 0) | (pos == (lengths - 1)[:, None]))
+    rowfull = jnp.concatenate(
+        [row_t.astype(jnp.float32), jnp.zeros((B, I), jnp.float32)], axis=-1
+    )
+    return (
+        MaskSpec("chunk", valid, gi, rowfull, T),
+        MaskSpec("full", valid, gi, rowfull, T),
+        MaskSpec("cross", valid, gi, rowfull, T),
+    )
 
 
 def padding_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:

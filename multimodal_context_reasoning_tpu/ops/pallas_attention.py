@@ -128,6 +128,123 @@ def fused_attention(
     return out.transpose(0, 2, 1, 3)[:, :Lq, :, :Dh]
 
 
+def _spec_kernel(q_ref, k_ref, v_ref, validk_ref, gik_ref, giq_ref, rowq_ref,
+                 o_ref, *, scale: float, stage: str, text_len: int):
+    """One (batch, head) tile over the FULL sequence with the stage mask
+    computed on the VPU from O(L) per-token vectors — neither a [Lq, Lk]
+    bias plane nor padded Q/K/V copies ever touch HBM (blocks use the real
+    array dims; Mosaic pads to hardware tiles inside VMEM only).  Mask
+    semantics bit-match ops/masks.py:build_stage_biases (asserted in
+    tests/test_pallas.py)."""
+    q_all = q_ref[0]                               # [H, Lq, Dh]
+    k_all = k_ref[0]                               # [H, Lk, Dh]
+    v_all = v_ref[0]
+    n_heads, lq, _ = q_all.shape
+    lk = k_all.shape[1]
+    posq = jax.lax.broadcasted_iota(jnp.int32, (lq, 1), 0)
+    posk = jax.lax.broadcasted_iota(jnp.int32, (1, lk), 1)
+    # All mask algebra runs in f32 on the VPU (Mosaic cannot lower wide
+    # boolean selects — i8→i1 truncation is unsupported), with OR as
+    # saturating add and the final mask applied additively.
+    validf = validk_ref[0].astype(jnp.float32)     # [1, Lk] {0,1}
+
+    if stage == "full":
+        visf = jnp.broadcast_to(validf, (lq, lk))
+    else:
+        gik = gik_ref[0]                           # [1, Lk]
+        giq = giq_ref[0].reshape(lq, 1)            # [Lq, 1]
+        rowqf = rowq_ref[0].reshape(lq, 1).astype(jnp.float32)
+        imgkf = (posk >= text_len).astype(jnp.float32)
+        imgqf = (posq >= text_len).astype(jnp.float32)
+        samef = ((giq == gik) & (giq >= 0)).astype(jnp.float32)
+        eyef = (posq == posk).astype(jnp.float32)
+        text_in = jnp.minimum(samef + eyef + rowqf, 1.0)
+        text_rows = ((1.0 - imgkf) * text_in + imgkf) * validf
+        if stage == "chunk":
+            img_rows = imgkf * validf
+        else:  # cross: image rows see only themselves, padding included
+            img_rows = eyef
+        visf = imgqf * img_rows + (1.0 - imgqf) * text_rows
+
+    neg = (1.0 - visf) * 1e9                       # one mask for all heads
+    for h in range(n_heads):                       # unrolled: H 2-D matmuls
+        s = jax.lax.dot_general(
+            q_all[h], k_all[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale - neg                            # [Lq, Lk] fp32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, h] = jnp.dot(
+            p.astype(v_all.dtype), v_all[h],
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stage", "text_len", "interpret")
+)
+def fused_attention_spec(
+    q: jnp.ndarray,            # [B, Lq, H, Dh]
+    k: jnp.ndarray,            # [B, Lk, H, Dh]  (Lk may exceed Lq: prefix)
+    v: jnp.ndarray,
+    valid: jnp.ndarray,        # [B, Lk] {0,1}
+    gi: jnp.ndarray,           # [B, Lk] int32 (-1 outside chunks)
+    rowfull: jnp.ndarray,      # [B, Lk] {0,1}
+    *,
+    stage: str,
+    text_len: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention with the stage mask computed in-kernel.
+
+    vs the dense-bias kernel: HBM mask traffic per program drops from one
+    [BLOCK_Q, Lk] fp32 plane to three [Lk] vectors; vs both earlier kernel
+    revisions: NO host-side padding — blocks span the real (Lq, Dh) array
+    dims so no 2× padded Q/K/V copies are materialized in HBM; one program
+    owns a whole batch element (all heads), K/V are fetched exactly once
+    and the mask is computed once and reused across heads.  (A native
+    [B, L, H, Dh] layout without the surrounding transposes does not lower:
+    Mosaic rejects the strided per-head slice — "unsupported shape cast".)"""
+    B, Lq, H, Dh = q.shape
+    Lk = k.shape[1]
+    scale = 1.0 / (Dh ** 0.5)
+
+    qp = q.transpose(0, 2, 1, 3)
+    kp = k.transpose(0, 2, 1, 3)
+    vp = v.transpose(0, 2, 1, 3)
+    validp = valid.astype(jnp.float32)[:, None]    # [B, 1, Lk]
+    gip = gi.astype(jnp.int32)[:, None]
+    giq = gi.astype(jnp.int32)[:, :Lq][:, None]    # q-side slice
+    rowq = rowfull.astype(jnp.float32)[:, :Lq][:, None]
+
+    grid = (B,)
+    kwargs = dict(memory_space=_MEMORY_SPACE) if _MEMORY_SPACE else {}
+
+    out = pl.pallas_call(
+        functools.partial(
+            _spec_kernel, scale=scale, stage=stage, text_len=text_len,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq, Dh), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, H, Lq, Dh), lambda b: (b, 0, 0, 0), **kwargs),
+            pl.BlockSpec((1, H, Lk, Dh), lambda b: (b, 0, 0, 0), **kwargs),
+            pl.BlockSpec((1, H, Lk, Dh), lambda b: (b, 0, 0, 0), **kwargs),
+            pl.BlockSpec((1, 1, Lk), lambda b: (b, 0, 0), **kwargs),
+            pl.BlockSpec((1, 1, Lk), lambda b: (b, 0, 0), **kwargs),
+            pl.BlockSpec((1, 1, Lq), lambda b: (b, 0, 0), **kwargs),
+            pl.BlockSpec((1, 1, Lq), lambda b: (b, 0, 0), **kwargs),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, Lq, Dh), lambda b: (b, 0, 0, 0), **kwargs
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, validp, gip, giq, rowq)
+
+    return out.transpose(0, 2, 1, 3)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
