@@ -216,3 +216,89 @@ class TestTensorboardFallback:
 
         files = glob.glob(str(tmp_path / "tb" / "**" / "*"), recursive=True)
         assert files
+
+
+class TestClipEnsembles:
+    """CLIP-gated ablations over precomputed CLIP embeddings
+    (models/clip_ensemble.py; reference classes in modeling_ensemble.py)."""
+
+    def _embs(self, Q=3, K=4, D=8, seed=0):
+        rng = np.random.default_rng(seed)
+        img = rng.normal(size=(Q, D)).astype(np.float32)
+        txt = rng.normal(size=(Q, K, D)).astype(np.float32)
+        return img, txt
+
+    def test_top2_gate_semantics(self):
+        import jax.numpy as jnp
+
+        from multimodal_context_reasoning_tpu.models.clip_ensemble import (
+            clip_similarity,
+            clip_top2_gate,
+        )
+
+        img, txt = self._embs()
+        sim = np.asarray(clip_similarity(jnp.asarray(img), jnp.asarray(txt)))
+        gate = np.asarray(clip_top2_gate(jnp.asarray(sim)))
+        for q in range(sim.shape[0]):
+            top2 = np.argsort(-sim[q])[:2]
+            want = np.mean(sim[q][top2])
+            for k in range(sim.shape[1]):
+                if k in top2:
+                    np.testing.assert_allclose(gate[q, k], want, rtol=1e-5)
+                else:
+                    assert gate[q, k] == 1.0
+
+    def test_gated_ensemble_and_similarity_fusion(self):
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_context_reasoning_tpu.models.clip_ensemble import (
+            ClipGatedEnsemble,
+            ClipSimilarityFusion,
+            clip_similarity,
+        )
+
+        rng = np.random.default_rng(1)
+        Q, K = 3, 4
+        img, txt = self._embs(Q, K)
+        calec = rng.normal(size=(Q * K, 6)).astype(np.float32)
+        rob = rng.normal(size=(Q * K, 10)).astype(np.float32)
+        label = np.zeros((Q * K,), np.float32)
+        label[::K] = 1.0
+
+        m = ClipGatedEnsemble(num_labels=K)
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(calec),
+                        jnp.asarray(rob), jnp.asarray(img), jnp.asarray(txt))
+        out = m.apply(params, jnp.asarray(calec), jnp.asarray(rob),
+                      jnp.asarray(img), jnp.asarray(txt),
+                      label=jnp.asarray(label))
+        assert out.logits.shape == (Q, K)
+        assert np.isfinite(float(out.loss))
+
+        f = ClipSimilarityFusion(num_labels=K)
+        base = rng.normal(size=(Q, K)).astype(np.float32)
+        fp = f.init(jax.random.PRNGKey(0), jnp.asarray(base),
+                    jnp.asarray(img), jnp.asarray(txt))
+        fout = f.apply(fp, jnp.asarray(base), jnp.asarray(img),
+                       jnp.asarray(txt), label=jnp.asarray(label))
+        sim = np.asarray(clip_similarity(jnp.asarray(img), jnp.asarray(txt)))
+        np.testing.assert_allclose(
+            np.asarray(fout.logits), (base + sim) / 2.0, rtol=1e-5
+        )
+
+    def test_clip_only_variants(self):
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_context_reasoning_tpu.models.clip_ensemble import (
+            ClipOnlyModel,
+        )
+
+        img, txt = self._embs()
+        for variant in ("fusion", "product"):
+            m = ClipOnlyModel(num_labels=4, variant=variant, clip_dim=8)
+            params = m.init(jax.random.PRNGKey(0), jnp.asarray(img),
+                            jnp.asarray(txt))
+            out = m.apply(params, jnp.asarray(img), jnp.asarray(txt))
+            assert out.logits.shape == (3, 4)
+            assert np.all(np.isfinite(np.asarray(out.logits)))
