@@ -103,3 +103,58 @@ class TestE2EPMR:
         for r in rows:
             assert {"premise", "answer_choices", "answer_label",
                     "img_id"} <= set(r)
+
+
+class TestE2EVCR:
+    """Same end-to-end flow on the real VCR validation data
+    (run_vcr_ModCR.py eval path; dataset loader data/vcr.py)."""
+
+    def test_vcr_flow_counts_and_chance_accuracy(self):
+        from multimodal_context_reasoning_tpu.cli.common import batch_spec
+        from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+        from multimodal_context_reasoning_tpu.data.loader import DataLoader
+        from multimodal_context_reasoning_tpu.data.schemas import ImageFeatures
+        from multimodal_context_reasoning_tpu.data.tokenization import (
+            HashTokenizer,
+        )
+        from multimodal_context_reasoning_tpu.data.vcr import (
+            VCRDataset,
+            load_vcr_json,
+        )
+        from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+        from multimodal_context_reasoning_tpu.train.step import make_eval_step
+
+        try:
+            examples = load_vcr_json(
+                "/root/reference/vcr_data/vcr_val.json", limit=9)
+        except FileNotFoundError:
+            pytest.skip("reference vcr_data not mounted")
+
+        cfg = ModCRConfig.tiny()
+        rng = np.random.default_rng(0)
+        feats = {
+            ex.img_id: ImageFeatures(
+                features=rng.normal(
+                    size=(6, cfg.global_encoder.img_feature_dim)
+                ).astype(np.float32),
+                num_regions=6,
+            )
+            for ex in examples
+        }
+        ds = VCRDataset(
+            examples, feats, HashTokenizer(), HashTokenizer(),
+            spec=batch_spec(cfg), max_chunks=cfg.max_chunks,
+        )
+        loader = DataLoader(ds, 4, shuffle=False)
+        model = ModCRModel(cfg)
+        first = next(iter(loader))
+        inputs = {k: v for k, v in first.items() if k != "example_mask"}
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), inputs)
+        eval_step = make_eval_step(model)
+        correct = count = 0.0
+        for batch in loader:
+            out = eval_step(params, batch)
+            correct += float(out["correct"])
+            count += float(out["count"])
+        assert count == 9                     # 9 % 4 == 1: padded final batch
+        assert 0.0 <= correct / count <= 0.8
