@@ -84,12 +84,32 @@ class VCRDataset(PMRDataset):
     whose answer strings may differ; here both sides derive from the same raw
     example, so the truncation reduces to capping the BERT answer at
     len(answer)+10 tokens — the heuristic is applied verbatim for parity.
+
+    ``lm_style`` selects the second-view (LM) stream framing:
+
+    - ``"prompt"`` (default) — the prefix-RoBERTa prompt template
+      (ensemble_T flavor, Data/VCRChunkAlign.py:821-836);
+    - ``"gpt"`` — the ``_ensemble_gpt`` flavor (:413-421): no prompt
+      template, no "Answer is" prefix, tokens framed
+      ``[bos] question [eos] answer [eos]`` (the Tokenizer adapter maps a
+      GPT-2 tokenizer's bos/eos onto cls/sep, data/tokenization.py:54-55) —
+      pass the GPT-2 tokenizer as ``roberta_tokenizer``.  Consumed by
+      ``DualEnsembleModel(text_view="gpt2")``.
     """
+
+    def __init__(self, *args, lm_style: str = "prompt", **kwargs):
+        super().__init__(*args, **kwargs)
+        if lm_style not in ("prompt", "gpt"):
+            raise ValueError(f"unknown lm_style {lm_style!r}")
+        self.lm_style = lm_style
 
     def featurize(self, ex: RawExample) -> List[CandidateFeatures]:
         spec = self.spec
         premise_tokens = self.bert.tokenize(ex.premise.lower())
-        r_que = self.roberta.tokenize(PROMPT_TEXT + ex.premise.lower())
+        if self.lm_style == "gpt":
+            r_que = self.roberta.tokenize(ex.premise.lower())
+        else:
+            r_que = self.roberta.tokenize(PROMPT_TEXT + ex.premise.lower())
 
         out: List[CandidateFeatures] = []
         for ans_idx, ans in enumerate(ex.answer_choices):
@@ -119,7 +139,10 @@ class VCRDataset(PMRDataset):
                 offset=1, total_len=t, max_chunks=self.max_chunks,
             )
 
-            r_ans = self.roberta.tokenize(ANSWER_PREFIX + r_ans_str)
+            if self.lm_style == "gpt":
+                r_ans = self.roberta.tokenize(r_ans_str)
+            else:
+                r_ans = self.roberta.tokenize(ANSWER_PREFIX + r_ans_str)
             r_toks = (
                 [self.roberta.cls_token] + r_que + [self.roberta.sep_token]
                 + r_ans + [self.roberta.sep_token]

@@ -26,9 +26,9 @@ combine rule and the loss.  Here those degrees of freedom are a config:
 
 ``VoteEnsemble`` covers ``model_vote`` (:859-869): a Linear over the
 stacked per-model choice logits.  The CLIP-gated variants (_t1, _clip,
-clip_model*) are intentionally out of scope for now: CLIP's contribution is
-disabled in the production model (modeling_ensemble.py:513-527) and the
-repo's CLIP training data hooks are commented out (SURVEY §2.1 known bugs).
+clip_model*, dual_ensemble_model_clip) live in models/clip_ensemble.py,
+rebuilt over precomputed CLIP embeddings.  ``DualEnsembleModel`` with
+``text_view="gpt2"`` is ``dual_ensemble_model_gpt`` (:249-287).
 """
 
 from __future__ import annotations
@@ -156,6 +156,18 @@ class DualEnsembleModel(nn.Module):
     config: "ModCRConfig"  # forward ref: core.config.ModCRConfig
     fusion: str = "concat"
     loss: str = "ce"
+    # "roberta" (dual_ensemble_model :45) or "gpt2"
+    # (dual_ensemble_model_gpt, modeling_ensemble.py:249-287): the text view
+    # comes from a GPT-2 tower over the gpt-tokenized candidate stream.
+    text_view: str = "roberta"
+    # Pooling for the gpt2 view. The reference takes gpt_output[:, 0, :]
+    # (:273) — under GPT-2's CAUSAL attention that hidden state attends only
+    # to the <bos> token, so the reference's text view is degenerate
+    # (identical across candidates). "first" reproduces that exactly;
+    # "last_real" (last non-pad position, the standard causal pooling) is
+    # the non-degenerate choice.
+    gpt_pool: str = "first"
+    gpt2_config: Optional[object] = None  # core.config.GPT2Config override
 
     @nn.compact
     def __call__(self, batch, *, deterministic: bool = True):
@@ -206,14 +218,41 @@ class DualEnsembleModel(nn.Module):
             total_label=batch.get("total_label"),
             deterministic=deterministic,
         )
-        r = PrefixRoberta(c.roberta, name="roberta")(
-            batch["r_input_ids"], batch["r_attention_mask"],
-            token_type_ids=batch.get("r_token_type_ids"),
-            deterministic=deterministic,
-        )
+        if self.text_view == "gpt2":
+            from multimodal_context_reasoning_tpu.core.config import GPT2Config
+            from multimodal_context_reasoning_tpu.models.gpt2 import GPT2Decoder
+
+            gcfg = self.gpt2_config or GPT2Config(
+                n_embd=c.global_encoder.hidden_size,
+                add_cross_attention=False,
+            )
+            ids = batch["r_input_ids"]
+            mask = batch["r_attention_mask"]
+            _, _, h = GPT2Decoder(gcfg, name="gpt")(
+                ids, attn_mask=mask, deterministic=deterministic,
+                output_hidden=True,
+            )
+            if self.gpt_pool == "first":
+                text_cls = h[:, 0]                     # ensemble:273 verbatim
+            elif self.gpt_pool == "last_real":
+                last = jnp.maximum(
+                    jnp.sum(mask, axis=-1).astype(jnp.int32) - 1, 0
+                )
+                text_cls = jnp.take_along_axis(
+                    h, last[:, None, None], axis=1
+                )[:, 0]
+            else:
+                raise ValueError(f"unknown gpt_pool {self.gpt_pool}")
+        else:
+            r = PrefixRoberta(c.roberta, name="roberta")(
+                batch["r_input_ids"], batch["r_attention_mask"],
+                token_type_ids=batch.get("r_token_type_ids"),
+                deterministic=deterministic,
+            )
+            text_cls = r.pooled
         out = CandidateEnsemble(
             num_labels=c.num_labels, fusion=self.fusion, loss=self.loss,
             name="ensemble",
-        )({"calec": fused.cls_ensem, "roberta": r.pooled},
+        )({"calec": fused.cls_ensem, self.text_view: text_cls},
           batch.get("label"))
         return out, fused.align_loss

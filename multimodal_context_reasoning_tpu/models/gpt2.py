@@ -195,6 +195,7 @@ class GPT2Decoder(nn.Module):
         cache_valid: Optional[jnp.ndarray] = None,   # [B, L_cache] {0,1}
         attn_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        output_hidden: bool = False,
     ):
         c = self.config
         B, L = input_ids.shape
@@ -236,4 +237,9 @@ class GPT2Decoder(nn.Module):
         new_cache = (
             KVCache(jnp.stack(new_k), jnp.stack(new_v)) if new_k else None
         )
+        if output_hidden:
+            # final-LN hidden states — the "GPT2Model" view the ensemble
+            # ablations consume (modeling_ensemble.py:268-273 reads
+            # gpt_output[0] before any LM head)
+            return logits, new_cache, h
         return logits, new_cache
