@@ -55,6 +55,11 @@ class EncoderConfig:
     # 128-lane boundary and the kernel pays 2x lane padding
     # (ops/PALLAS_NOTES.md has the numbers). Flip on for longer sequences.
     use_pallas: bool = False
+    # "none" | "int8": route the projection/FFN matmuls through the dynamic
+    # W8A8 int8 path (ops/quant.py) — inference-only, 2× MXU peak on v5e.
+    # Param tree is unchanged (weights stay fp32; quantization happens in
+    # the jitted graph).
+    quantize: str = "none"
 
     @property
     def head_dim(self) -> int:
@@ -126,6 +131,7 @@ class RobertaConfig:
     pad_token_id: int = 1  # roberta convention; position ids offset from it
     dtype: str = "float32"
     use_pallas: bool = False  # see EncoderConfig.use_pallas
+    quantize: str = "none"    # see EncoderConfig.quantize
     # jax.checkpoint each layer in the backward pass (trades ~30% more
     # FLOPs for O(1) activation memory across the 24-layer tower).
     remat: bool = False
@@ -193,6 +199,16 @@ class ModCRConfig:
     # sequence encoder; the fusion consumes the global encoder's views and
     # the alignment loss vanishes.
     use_seq_encoder: bool = True
+    # Deduplicate the vision-prefix pass across an example's num_labels
+    # candidate rows.  The pass (ensemble:466-475) sees only [CLS]+image,
+    # and collate emits the K candidate rows of an example consecutively
+    # with identical img_feat/img_mask (Data/VCRChunkAlign.py:690-741 keeps
+    # one img_feat per example too) — so computing it once per example and
+    # repeating the prefix is bit-identical on the deterministic path and
+    # saves (K-1)/K of the vision-pass FLOPs (~4% of the forward).  Applied
+    # only when deterministic=True: under training dropout the reference
+    # draws per-row dropout masks inside the frozen encoder.
+    dedup_vision_prefix: bool = True
     # Compute the CALeC attention-alignment loss. It requires materializing
     # three full [B, H, L, L] attention maps — the single largest HBM
     # tensor in the forward — and the production trainer does not optimize
@@ -226,6 +242,16 @@ class ModCRConfig:
             global_encoder=dataclasses.replace(self.global_encoder, dtype=dtype),
             seq_encoder=dataclasses.replace(self.seq_encoder, dtype=dtype),
             roberta=dataclasses.replace(self.roberta, dtype=dtype),
+        )
+
+    def with_quantize(self, mode: str) -> "ModCRConfig":
+        """Copy with every tower's matmul quantization mode set
+        ("none" | "int8", see EncoderConfig.quantize). Inference-only."""
+        return dataclasses.replace(
+            self,
+            global_encoder=dataclasses.replace(self.global_encoder, quantize=mode),
+            seq_encoder=dataclasses.replace(self.seq_encoder, quantize=mode),
+            roberta=dataclasses.replace(self.roberta, quantize=mode),
         )
 
     def to_json(self) -> str:

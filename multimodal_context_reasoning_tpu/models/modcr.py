@@ -109,9 +109,21 @@ class ModCRModel(nn.Module):
         roberta = PrefixRoberta(c.roberta, name="roberta")
 
         # --- 1. Vision prefix: CLS token + image only (ensemble:466-475).
-        vis_mask = jnp.concatenate([text_mask[:, :1], img_mask], axis=-1)
+        # The K candidate rows of one example share [CLS] + image exactly,
+        # so on the deterministic path the pass runs once per example and
+        # the prefix is repeated — bit-identical, (K-1)/K fewer FLOPs
+        # (core/config.py dedup_vision_prefix).
+        K = c.num_labels
+        dedup = (
+            c.dedup_vision_prefix and deterministic and N % K == 0 and N > K
+        )
+        v_ids = input_ids[::K] if dedup else input_ids
+        v_tmask = text_mask[::K] if dedup else text_mask
+        v_feat = img_feat[::K] if dedup else img_feat
+        v_imask = img_mask[::K] if dedup else img_mask
+        vis_mask = jnp.concatenate([v_tmask[:, :1], v_imask], axis=-1)
         vis_out = global_enc(
-            input_ids[:, :1], img_feat, vis_mask,
+            v_ids[:, :1], v_feat, vis_mask,
             token_type_ids=None, deterministic=deterministic,
         )
         vis_cls = stop(vis_out.sequence[:, 0])
@@ -120,6 +132,8 @@ class ModCRModel(nn.Module):
             c.mapping_dropout, dtype=c.global_encoder.jnp_dtype,
             name="mapping_network_vision",
         )(vis_cls, deterministic=deterministic)
+        if dedup:
+            prefix_vision = jnp.repeat(prefix_vision, K, axis=0)
 
         # --- 2. Alignment prefix: global + seq encoders + CALeC fusion.
         full_mask = jnp.concatenate([text_mask, img_mask], axis=-1)

@@ -52,8 +52,14 @@ def pmr_setup():
         )
         for ex in examples
     }
+    # tokenizer vocabs MUST match the model config: out-of-range token ids
+    # make nn.Embed emit NaN inside jit (jnp.take fill mode) — silently,
+    # since argmax over an all-NaN row returns 0 and still looks
+    # "chance-like" to an accuracy assertion
     ds = PMRDataset(
-        examples, feats, HashTokenizer(), HashTokenizer(),
+        examples, feats,
+        HashTokenizer(vocab_size=cfg.global_encoder.vocab_size),
+        HashTokenizer(vocab_size=cfg.roberta.vocab_size),
         spec=batch_spec(cfg), max_chunks=cfg.max_chunks,
     )
     model = ModCRModel(cfg)
@@ -75,6 +81,9 @@ class TestE2EPMR:
         batch_counts = []
         for batch in loader:
             out = eval_step(params, batch)
+            assert np.all(np.isfinite(np.asarray(out["logits"]))), (
+                "non-finite logits — check tokenizer/model vocab match"
+            )
             batch_counts.append(float(out["count"]))
             correct += float(out["correct"])
             count += float(out["count"])
@@ -142,7 +151,9 @@ class TestE2EVCR:
             for ex in examples
         }
         ds = VCRDataset(
-            examples, feats, HashTokenizer(), HashTokenizer(),
+            examples, feats,
+            HashTokenizer(vocab_size=cfg.global_encoder.vocab_size),
+            HashTokenizer(vocab_size=cfg.roberta.vocab_size),
             spec=batch_spec(cfg), max_chunks=cfg.max_chunks,
         )
         loader = DataLoader(ds, 4, shuffle=False)
@@ -154,6 +165,7 @@ class TestE2EVCR:
         correct = count = 0.0
         for batch in loader:
             out = eval_step(params, batch)
+            assert np.all(np.isfinite(np.asarray(out["logits"])))
             correct += float(out["correct"])
             count += float(out["count"])
         assert count == 9                     # 9 % 4 == 1: padded final batch

@@ -31,6 +31,7 @@ def make_batch(cfg: ModCRConfig, n_examples: int = 2, seed: int = 0):
     for i in range(N):
         L = int(text_len[i])
         input_ids[i, :L] = rng.integers(4, cfg.global_encoder.vocab_size, size=L)
+        input_ids[i, 0] = 1  # [CLS] — constant across rows (prod schema)
         text_mask[i, :L] = 1.0
         # chunks over positions 1..L-2, two tokens each
         cid = 0
@@ -50,8 +51,13 @@ def make_batch(cfg: ModCRConfig, n_examples: int = 2, seed: int = 0):
         chunk_mask_from_gather_index(jnp.asarray(gather_index), jnp.asarray(text_mask))
     )
 
-    img_len_real = rng.integers(3, I + 1, size=N)
-    img_feat = rng.normal(size=(N, I, F)).astype(np.float32)
+    # one image per EXAMPLE, repeated across its candidate rows (the
+    # production collate contract, Data/VCRChunkAlign.py:690-741)
+    K = cfg.num_labels
+    img_len_real = np.repeat(rng.integers(3, I + 1, size=n_examples), K)
+    img_feat = np.repeat(
+        rng.normal(size=(n_examples, I, F)).astype(np.float32), K, axis=0
+    )
     img_mask = np.zeros((N, I), np.float32)
     for i in range(N):
         img_mask[i, : int(img_len_real[i])] = 1.0
@@ -109,6 +115,25 @@ class TestModCRForward:
         a = model.apply(params, batch)
         b = model.apply(params, batch)
         np.testing.assert_array_equal(np.asarray(a.logits), np.asarray(b.logits))
+
+    def test_vision_prefix_dedup_is_exact(self, tiny_setup):
+        """dedup_vision_prefix runs the [CLS]+image pass once per example
+        and repeats the prefix — same math on the same inputs (candidate
+        rows share [CLS]+image), so logits match to float-reassociation
+        noise (XLA tiles the [B/K] and [B] batches differently; ~1e-7)."""
+        import dataclasses
+
+        cfg, model, batch, params = tiny_setup
+        assert cfg.dedup_vision_prefix  # the default
+        on = model.apply(params, batch)
+        model_off = ModCRModel(
+            dataclasses.replace(cfg, dedup_vision_prefix=False)
+        )
+        off = model_off.apply(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(on.logits), np.asarray(off.logits),
+            rtol=1e-5, atol=1e-5,
+        )
 
     def test_encoder_gradients_are_zero_when_frozen(self, tiny_setup):
         cfg, model, batch, params = tiny_setup
