@@ -62,6 +62,13 @@ def measure_tpu() -> float:
     # Mixed precision: fp32 params, bf16 activations/matmuls (flax dtype=).
     # The cast happens inside the jitted graph — no separate dispatches.
     cfg = ModCRConfig().with_dtype("bfloat16")
+    # Experimental measurement hook (BENCHMARKS.md "int8" row):
+    # MODCR_BENCH_QUANTIZE=int8 routes the tower matmuls through the
+    # dynamic W8A8 path (ops/quant.py). The recorded headline stays bf16.
+    qmode = os.environ.get("MODCR_BENCH_QUANTIZE", "none")
+    if qmode != "none":
+        cfg = cfg.with_quantize(qmode)
+        log(f"quantize mode: {qmode}")
     model = ModCRModel(cfg)
     batch = _synthetic_batch(cfg, n_examples=N_EXAMPLES)
     log("batch built")

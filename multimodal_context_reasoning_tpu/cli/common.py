@@ -87,6 +87,11 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                         "(see BENCHMARKS.md)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the RoBERTa tower (memory for FLOPs)")
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="inference-only dynamic W8A8 int8 matmuls in all "
+                        "three towers (ops/quant.py; 2x MXU peak on v5e). "
+                        "Ignored on the training path.")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host "
                         "(DCN) runs; single-host/TPU-pod-slice jobs where "
@@ -116,6 +121,13 @@ def configs_from_args(args) -> tuple[ModCRConfig, TrainConfig]:
         ).with_dtype(args.compute_dtype)
     if getattr(args, "skip_alignment_loss", False):
         cfg = dataclasses.replace(cfg, compute_alignment=False)
+    if getattr(args, "quantize", "none") != "none":
+        if getattr(args, "do_train", False):
+            raise SystemExit(
+                "--quantize is inference-only (round() has zero gradient); "
+                "drop it for --do_train"
+            )
+        cfg = cfg.with_quantize(args.quantize)
     if getattr(args, "remat", False):
         cfg = dataclasses.replace(
             cfg, roberta=dataclasses.replace(cfg.roberta, remat=True)

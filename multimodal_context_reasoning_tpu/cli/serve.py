@@ -20,6 +20,8 @@ def main(argv=None):
     p.add_argument("--bert_tokenizer_dir", default="")
     p.add_argument("--roberta_tokenizer_dir", default="")
     p.add_argument("--micro_batch", type=int, default=8)
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="dynamic W8A8 int8 matmuls (ops/quant.py)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=("float32", "bfloat16"))
     p.add_argument("--tiny", action="store_true")
@@ -36,6 +38,8 @@ def main(argv=None):
 
     cfg = (ModCRConfig.tiny() if args.tiny
            else ModCRConfig().with_dtype(args.compute_dtype))
+    if args.quantize != "none":
+        cfg = cfg.with_quantize(args.quantize)
     feats = load_image_features(
         args.img_feat_file, cfg.global_encoder.img_feature_dim
     )

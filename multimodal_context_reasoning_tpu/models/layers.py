@@ -40,6 +40,16 @@ ACT = {
 }
 
 
+def _dense(c: EncoderConfig, features: int, name: str):
+    """nn.Dense, or its param-compatible int8 twin when c.quantize="int8"
+    (ops/quant.py — dynamic W8A8, 2× MXU peak on v5e, inference-only)."""
+    if c.quantize == "int8":
+        from multimodal_context_reasoning_tpu.ops.quant import QuantDense
+
+        return QuantDense(features, dtype=c.jnp_dtype, name=name)
+    return nn.Dense(features, dtype=c.jnp_dtype, name=name)
+
+
 class BertEmbeddings(nn.Module):
     """Word + position + token-type embeddings, LayerNorm, dropout.
 
@@ -102,14 +112,14 @@ class SelfAttention(nn.Module):
         H, Dh = c.num_attention_heads, c.head_dim
 
         dt = c.jnp_dtype
-        q = nn.Dense(c.hidden_size, dtype=dt, name="query")(hidden)
+        q = _dense(c, c.hidden_size, "query")(hidden)
         kv_src = hidden
         if prefix_kv is not None:
             # KV-prepend of raw prefix states, projected through this layer's
             # own K/V weights — the history_state mechanism.
             kv_src = jnp.concatenate([prefix_kv.astype(hidden.dtype), hidden], axis=1)
-        k = nn.Dense(c.hidden_size, dtype=dt, name="key")(kv_src)
-        v = nn.Dense(c.hidden_size, dtype=dt, name="value")(kv_src)
+        k = _dense(c, c.hidden_size, "key")(kv_src)
+        v = _dense(c, c.hidden_size, "value")(kv_src)
 
         if chunk_query_index is not None:
             # Chunk-mean query rewrite (applied to the projected queries,
@@ -161,7 +171,7 @@ class SelfAttention(nn.Module):
         out = out.reshape(B, L, c.hidden_size)
 
         # BertSelfOutput: dense + dropout + residual + LN.
-        out = nn.Dense(c.hidden_size, dtype=dt, name="out")(out)
+        out = _dense(c, c.hidden_size, "out")(out)
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
         out = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=dt,
                            name="out_layer_norm")(out + hidden)
@@ -177,9 +187,9 @@ class FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         c = self.config
         dt = c.jnp_dtype
-        h = nn.Dense(c.intermediate_size, dtype=dt, name="intermediate")(x)
+        h = _dense(c, c.intermediate_size, "intermediate")(x)
         h = ACT[c.hidden_act](h)
-        h = nn.Dense(c.hidden_size, dtype=dt, name="output")(h)
+        h = _dense(c, c.hidden_size, "output")(h)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=dt,
                             name="output_layer_norm")(h + x)

@@ -68,6 +68,7 @@ class PrefixRoberta(nn.Module):
             pad_token_id=c.pad_token_id,
             dtype=c.dtype,
             use_pallas=c.use_pallas,
+            quantize=c.quantize,
         )
 
     @nn.compact
