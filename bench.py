@@ -23,7 +23,8 @@ import os
 import sys
 import time
 
-N_EXAMPLES = 32         # batch of 32 examples -> 128 candidate rows
+N_EXAMPLES = int(os.environ.get("MODCR_BENCH_EXAMPLES", "32"))
+                        # batch of 32 examples -> 128 candidate rows
                         # (measured knee of the throughput curve on v5e:
                         #  8 ex -> 125 ex/s, 32 -> 169, 64 -> 168)
 WARMUP = 2

@@ -1,8 +1,9 @@
 """Unified generation front-end.
 
 Capability parity with the legacy caption engine's ``generate`` dispatcher
-(modeling/modeling_utils.py:44-242: greedy / sampling / beam branches behind
-one call) over the framework's jitted decoders.
+(modeling/modeling_utils.py:44-242: greedy / sampling / beam branches plus
+the ``use_cbs`` FSM-constrained branch, :126-147) over the framework's
+jitted decoders.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ def generate(
     prompt_ids: jnp.ndarray,
     prompt_len: jnp.ndarray,
     *,
-    mode: str = "greedy",            # greedy | sample | beam
+    mode: str = "greedy",            # greedy | sample | beam | cbs
     memory: Optional[jnp.ndarray] = None,
     memory_mask: Optional[jnp.ndarray] = None,
     max_len: int = 50,
@@ -45,6 +46,10 @@ def generate(
     constraint_factor: float = 0.8,
     repetition_penalty: float = 1.0,
     length_penalty: float = 1.0,
+    # cbs (FSM lattice, generation/fsm.py — utils/cbs.py flavor)
+    fsm_adjacency: Optional[jnp.ndarray] = None,   # [B, S, S, V]
+    num_constraints: Optional[jnp.ndarray] = None,  # [B] int
+    min_constraints_to_satisfy: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, max_len], lengths [B])."""
     common = dict(
@@ -72,4 +77,38 @@ def generate(
             repetition_penalty=repetition_penalty, top_k=top_k or 50,
             length_penalty=length_penalty, **common,
         )
+    if mode == "cbs":
+        # the reference's use_cbs branch (modeling_bert.py:1018-1034:
+        # ConstrainedBeamSearch.search over the FSM lattice, then
+        # select_best_beam_with_constraints picks the top
+        # length-normalized beam among constraint-satisfying states)
+        if fsm_adjacency is None:
+            raise ValueError(
+                "mode='cbs' requires fsm_adjacency "
+                "(generation.fsm.FiniteStateMachineBuilder.build)"
+            )
+        from multimodal_context_reasoning_tpu.generation.fsm import (
+            fsm_decode_gpt2,
+            select_best_beam_with_constraints,
+        )
+
+        beams, logp = fsm_decode_gpt2(
+            model, params, prompt_ids, prompt_len, fsm_adjacency,
+            memory=memory, memory_mask=memory_mask,
+            num_beams=num_beams, max_steps=max_len, eos_ids=(eos_id,),
+        )
+        if num_constraints is None:
+            raise ValueError(
+                "mode='cbs' requires num_constraints ([B] ints — the "
+                "reference passes it alongside fsm, modeling_bert.py:1028)"
+            )
+        tokens, _ = select_best_beam_with_constraints(
+            beams, logp, num_constraints, min_constraints_to_satisfy,
+            (eos_id,),
+        )
+        lengths = jnp.sum(
+            jnp.cumprod((tokens != eos_id).astype(jnp.int32), axis=-1),
+            axis=-1,
+        )
+        return tokens, lengths
     raise ValueError(f"unknown mode {mode!r}")

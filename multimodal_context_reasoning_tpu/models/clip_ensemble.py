@@ -23,6 +23,13 @@ Rebuilt variants (modeling_ensemble.py):
 - :class:`ClipOnlyModel` — ``clip_model`` (:793-822, raw concat through
   ``easy_fusion``) and ``clip_model_r`` (:824-858, normalized elementwise
   product ×1000) behind ``variant=``.
+
+Feeding embeddings: store per-image CLIP vectors in the same indexed mmap
+pack as the region features (``data/feature_store.py`` /
+``cli/pack_features.py`` handle any fixed dim — use dim=512) and batch the
+per-candidate text embeddings host-side; there is deliberately no live
+CLIP tower in the framework (the reference's CLIP data hooks are
+commented-out dead code, run_PMR_ModCR.py:791-793).
 """
 
 from __future__ import annotations

@@ -159,6 +159,11 @@ class DualEnsembleModel(nn.Module):
     # "roberta" (dual_ensemble_model :45) or "gpt2"
     # (dual_ensemble_model_gpt, modeling_ensemble.py:249-287): the text view
     # comes from a GPT-2 tower over the gpt-tokenized candidate stream.
+    # The reference also forwards token_type_ids into its GPT-2 (ensemble
+    # :268-269), but the _ensemble_gpt dataset emits all-zero segments
+    # (Data/VCRChunkAlign.py:425-427) — a constant wte(0) shift on every
+    # position — so the framework's GPT-2 (which takes no token types, like
+    # modern HF GPT-2) drops it.
     text_view: str = "roberta"
     # Pooling for the gpt2 view. The reference takes gpt_output[:, 0, :]
     # (:273) — under GPT-2's CAUSAL attention that hidden state attends only

@@ -257,3 +257,68 @@ class TestGPT2Wrapper:
                     if fsm.adjacency[st, t2, tok]
                 }
             assert s in states
+
+
+class TestGenerateCbsDispatch:
+    def test_generate_mode_cbs_matches_manual_pipeline(self):
+        """generate(mode='cbs') == fsm_decode_gpt2 + select_best (the
+        reference's use_cbs branch, modeling_bert.py:1018-1034), returned
+        in the generate() (tokens [B, max_len], lengths [B]) contract."""
+        from multimodal_context_reasoning_tpu.core.config import GPT2Config
+        from multimodal_context_reasoning_tpu.generation.api import generate
+        from multimodal_context_reasoning_tpu.generation.fsm import (
+            select_best_beam_with_constraints,
+        )
+        from multimodal_context_reasoning_tpu.models.gpt2 import GPT2Decoder
+
+        cfg = GPT2Config(
+            vocab_size=V, n_positions=64, n_embd=16, n_layer=1, n_head=2,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+            add_cross_attention=False, pad_token_id=0,
+        )
+        model = GPT2Decoder(cfg)
+        rng = np.random.default_rng(1)
+        B, Lp, K, max_steps = 1, 3, 2, 5
+        prompt = jnp.asarray(rng.integers(2, V, size=(B, Lp)), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), prompt)
+
+        b = FiniteStateMachineBuilder(V, max_given_constraints=2,
+                                      max_words_per_constraint=2)
+        fsm = b.build([[[5]], [[7]]])
+        adjacency = jnp.asarray(fsm.adjacency[None])
+        n_constraints = jnp.asarray([2], jnp.int32)
+
+        tokens, lengths = generate(
+            model, params, prompt, jnp.asarray([Lp]),
+            mode="cbs", fsm_adjacency=adjacency,
+            num_constraints=n_constraints, min_constraints_to_satisfy=1,
+            num_beams=K, max_len=max_steps, eos_id=EOS,
+        )
+        assert tokens.shape == (B, max_steps)
+        assert lengths.shape == (B,)
+
+        beams, lp = fsm_decode_gpt2(
+            model, params, prompt, jnp.asarray([Lp]), adjacency,
+            num_beams=K, max_steps=max_steps, eos_ids=(EOS,),
+        )
+        best, _ = select_best_beam_with_constraints(
+            beams, lp, n_constraints, 1, (EOS,)
+        )
+        np.testing.assert_array_equal(np.asarray(tokens), np.asarray(best))
+
+    def test_generate_mode_cbs_requires_lattice_and_counts(self):
+        import pytest as _pytest
+
+        from multimodal_context_reasoning_tpu.core.config import GPT2Config
+        from multimodal_context_reasoning_tpu.generation.api import generate
+        from multimodal_context_reasoning_tpu.models.gpt2 import GPT2Decoder
+
+        cfg = GPT2Config(
+            vocab_size=V, n_positions=64, n_embd=16, n_layer=1, n_head=2,
+            add_cross_attention=False,
+        )
+        model = GPT2Decoder(cfg)
+        prompt = jnp.ones((1, 3), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), prompt)
+        with _pytest.raises(ValueError, match="fsm_adjacency"):
+            generate(model, params, prompt, jnp.asarray([3]), mode="cbs")
