@@ -20,6 +20,10 @@ def main(argv=None):
     p.add_argument("--bert_tokenizer_dir", default="")
     p.add_argument("--roberta_tokenizer_dir", default="")
     p.add_argument("--micro_batch", type=int, default=8)
+    p.add_argument("--params_dtype", default=None,
+                   help="cast resident params once at load (e.g. bfloat16 "
+                        "halves the weight HBM read per call — the "
+                        "dominant cost at small micro-batches)")
     p.add_argument("--quantize", default="none", choices=["none", "int8"],
                    help="dynamic W8A8 int8 matmuls (ops/quant.py)")
     p.add_argument("--compute_dtype", default="bfloat16",
@@ -88,7 +92,8 @@ def main(argv=None):
         params = state.params
 
     scorer = ModCRScorer(
-        cfg, params, bert, rob, feats, micro_batch=args.micro_batch
+        cfg, params, bert, rob, feats, micro_batch=args.micro_batch,
+        params_dtype=args.params_dtype,
     )
     print(f"serving on http://{args.host}:{args.port} "
           f"(micro_batch={args.micro_batch})", flush=True)

@@ -4,10 +4,18 @@ Capability parity with the legacy caption engine's ``generate`` dispatcher
 (modeling/modeling_utils.py:44-242: greedy / sampling / beam branches plus
 the ``use_cbs`` FSM-constrained branch, :126-147) over the framework's
 jitted decoders.
+
+``generate`` compiles the selected decoder into ONE XLA program (jax.jit
+with the shape-static knobs marked static; the flax module is a hashable
+static arg, so the compilation caches across calls).  Calling the
+underlying ``greedy_decode``/``sample_decode``/... directly instead runs
+them eagerly — one device dispatch per op, which on a tunneled TPU turns a
+~350 ms decode into ~6 s.  Use ``generate`` (or wrap in jax.jit yourself).
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -21,6 +29,44 @@ from multimodal_context_reasoning_tpu.generation.decode import (
     sample_decode,
 )
 from multimodal_context_reasoning_tpu.models.gpt2 import GPT2Decoder
+
+# Jitted entry per decoder: arg 0 (the flax module) and every knob that
+# changes the traced program are static; compiled programs cache on
+# (module, static knobs, input shapes).
+_greedy = jax.jit(
+    greedy_decode, static_argnums=(0,),
+    static_argnames=("max_len", "eos_id", "pad_id"),
+)
+_sample = jax.jit(
+    sample_decode, static_argnums=(0,),
+    static_argnames=("max_len", "eos_id", "pad_id",
+                     "temperature", "top_k", "top_p"),
+)
+_beam = jax.jit(
+    constrained_beam_sample, static_argnums=(0,),
+    static_argnames=("num_beams", "max_steps", "eos_id", "pad_id",
+                     "constraint_factor", "repetition_penalty", "top_k",
+                     "length_penalty"),
+)
+
+
+def _cbs(model, params, prompt_ids, prompt_len, adjacency, *,
+         memory, memory_mask, num_beams, max_steps, eos_ids):
+    from multimodal_context_reasoning_tpu.generation.fsm import (
+        fsm_decode_gpt2,
+    )
+
+    return fsm_decode_gpt2(
+        model, params, prompt_ids, prompt_len, adjacency,
+        memory=memory, memory_mask=memory_mask,
+        num_beams=num_beams, max_steps=max_steps, eos_ids=eos_ids,
+    )
+
+
+_cbs_jit = jax.jit(
+    _cbs, static_argnums=(0,),
+    static_argnames=("num_beams", "max_steps", "eos_ids"),
+)
 
 
 def generate(
@@ -57,11 +103,11 @@ def generate(
         max_len=max_len, eos_id=eos_id, pad_id=pad_id,
     )
     if mode == "greedy":
-        return greedy_decode(model, params, prompt_ids, prompt_len, **common)
+        return _greedy(model, params, prompt_ids, prompt_len, **common)
     if mode == "sample":
         if rng is None:
             raise ValueError("mode='sample' requires rng")
-        return sample_decode(
+        return _sample(
             model, params, prompt_ids, prompt_len, rng=rng,
             temperature=temperature, top_k=top_k, top_p=top_p, **common,
         )
@@ -69,7 +115,7 @@ def generate(
         if rng is None:
             raise ValueError("mode='beam' requires rng (beam *sampling*)")
         common.pop("max_len")
-        return constrained_beam_sample(
+        return _beam(
             model, params, prompt_ids, prompt_len, rng=rng,
             num_beams=num_beams, max_steps=max_len,
             constraint_mask=constraint_mask,
@@ -88,11 +134,10 @@ def generate(
                 "(generation.fsm.FiniteStateMachineBuilder.build)"
             )
         from multimodal_context_reasoning_tpu.generation.fsm import (
-            fsm_decode_gpt2,
             select_best_beam_with_constraints,
         )
 
-        beams, logp = fsm_decode_gpt2(
+        beams, logp = _cbs_jit(
             model, params, prompt_ids, prompt_len, fsm_adjacency,
             memory=memory, memory_mask=memory_mask,
             num_beams=num_beams, max_steps=max_len, eos_ids=(eos_id,),

@@ -33,8 +33,21 @@ class ModCRScorer:
         *,
         micro_batch: int = 8,           # examples per device call
         warm: bool = True,
+        params_dtype: Optional[str] = None,   # e.g. "bfloat16"
     ):
         self.config = config
+        if params_dtype is not None:
+            # Serving-latency lever: small micro-batches are weight-
+            # bandwidth-bound, so bf16-resident params halve the HBM read
+            # per call (training keeps fp32 masters; this cast is one-way,
+            # at load).
+            dt = jnp.bfloat16 if params_dtype == "bfloat16" else jnp.dtype(params_dtype)
+            # one jitted program for the whole tree — per-leaf .astype would
+            # be one device dispatch per parameter on the tunnel (CLAUDE.md)
+            params = jax.jit(lambda p: jax.tree.map(
+                lambda a: a.astype(dt)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, p,
+            ))(params)
         self.params = params
         self.micro_batch = micro_batch
         self.features = image_features

@@ -118,3 +118,31 @@ class TestServer:
                 assert e.code == 400
         finally:
             server.shutdown()
+
+
+class TestParamsDtype:
+    def test_bf16_resident_params(self, scorer):
+        """params_dtype='bfloat16' casts every float leaf once at load (one
+        jitted program — not per-leaf dispatches) and still scores."""
+        import jax.numpy as jnp
+
+        from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
+
+        bf = ModCRScorer(
+            scorer.config, scorer.params, scorer._ds.bert, scorer._ds.roberta,
+            scorer.features, micro_batch=2, params_dtype="bfloat16",
+        )
+        leaves = jax.tree.leaves(bf.params)
+        assert all(
+            l.dtype == jnp.bfloat16
+            for l in leaves if jnp.issubdtype(l.dtype, jnp.floating)
+        )
+        out = bf.score([_example(0)])
+        fp = scorer.score([_example(0)])
+        assert len(out) == 1 and np.all(np.isfinite(out[0]["logits"]))
+        # bf16 weights: same decision on a clearly-scored example or at
+        # least close logits
+        np.testing.assert_allclose(
+            np.asarray(out[0]["logits"]), np.asarray(fp[0]["logits"]),
+            atol=0.05, rtol=0.1,
+        )
