@@ -284,3 +284,126 @@ class TestReferenceActivations:
         leftovers = [k for k in report.unconsumed
                      if not k.startswith(dead_ok)]
         assert leftovers == [], leftovers
+
+
+GL, GD, GH, GV, GM = 4, 64, 4, 160, 10   # gpt2: layers, width, heads, vocab, mem len
+
+
+@pytest.fixture(scope="module")
+def ref_gpt2(ref_modules):
+    """Vendored reference GPT-2 (cross-attention Blocks,
+    modeling_transfomres.py:266-968) at tiny geometry, dropouts zero."""
+    import bench
+
+    tra, _, _ = bench._import_reference_modeling()
+    from a_transformers.configuration_gpt2 import GPT2Config as RefGPT2Config
+
+    cfg = RefGPT2Config(
+        vocab_size=GV, n_positions=64, n_ctx=64, n_embd=GD, n_layer=GL,
+        n_head=GH, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        add_cross_attention=True,
+    )
+    torch.manual_seed(23)
+    model = tra.GPT2Model(cfg)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def our_gpt2(ref_gpt2):
+    from multimodal_context_reasoning_tpu.core.config import GPT2Config
+    from multimodal_context_reasoning_tpu.interop.torch_bridge import convert_gpt2
+    from multimodal_context_reasoning_tpu.models.gpt2 import GPT2Decoder
+
+    cfg = GPT2Config(
+        vocab_size=GV, n_positions=64, n_embd=GD, n_layer=GL, n_head=GH,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        add_cross_attention=True,
+    )
+    sd = {k: v.detach().numpy() for k, v in ref_gpt2.state_dict().items()}
+    params = {"params": convert_gpt2(sd, GL)}
+    return GPT2Decoder(cfg), params
+
+
+class TestReferenceGPT2:
+    def test_full_forward_with_cross_attention(self, ref_gpt2, our_gpt2):
+        """Same ids + encoder memory (with padded memory slots) → same
+        tied-embedding logits as the vendored GPT-2."""
+        model, params = our_gpt2
+        rng = np.random.default_rng(9)
+        B, L = 3, 12
+        ids = rng.integers(1, GV, size=(B, L)).astype(np.int64)
+        mem = rng.normal(size=(B, GM, GD)).astype(np.float32)
+        mem_mask = np.ones((B, GM), np.float32)
+        mem_mask[:, GM - 2:] = 0.0          # padded memory slots
+
+        with torch.no_grad():
+            ref_h = ref_gpt2(
+                input_ids=torch.tensor(ids),
+                encoder_hidden_states=torch.tensor(mem),
+                encoder_attention_mask=torch.tensor(mem_mask),
+            )[0].numpy()
+        wte = ref_gpt2.wte.weight.detach().numpy()
+        ref_logits = ref_h @ wte.T
+
+        logits, _ = model.apply(
+            params, jnp.asarray(ids, jnp.int32),
+            memory=jnp.asarray(mem), memory_mask=jnp.asarray(mem_mask),
+            deterministic=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), ref_logits, rtol=2e-3, atol=2e-4
+        )
+
+    def test_incremental_greedy_decode_matches_reference_past_loop(
+        self, ref_gpt2, our_gpt2
+    ):
+        """The round-1 bug class: multi-step KV-cached decode with UNEQUAL
+        prompt lengths must match the reference's growing-`past` greedy
+        loop (v10.py:1463-1493: prefill with use_cache=True, then one
+        token at a time, argmax of the tied-embedding logits)."""
+        from multimodal_context_reasoning_tpu.generation.api import generate
+
+        model, params = our_gpt2
+        rng = np.random.default_rng(13)
+        B, Lp, GEN = 3, 9, 8
+        p_len = np.asarray([9, 5, 7])
+        prompt = np.zeros((B, Lp), np.int64)
+        for i in range(B):
+            prompt[i, : p_len[i]] = rng.integers(1, GV, size=p_len[i])
+        mem = rng.normal(size=(B, GM, GD)).astype(np.float32)
+        mem_mask = np.ones((B, GM), np.float32)
+        mem_mask[0, GM - 3:] = 0.0
+
+        wte = ref_gpt2.wte.weight.detach()
+        ref_tokens = np.zeros((B, GEN), np.int64)
+        with torch.no_grad():
+            for i in range(B):                       # reference loops per row
+                real = torch.tensor(prompt[i, : p_len[i]])[None]
+                m = torch.tensor(mem[i])[None]
+                mm = torch.tensor(mem_mask[i])[None]
+                out = ref_gpt2(input_ids=real, encoder_hidden_states=m,
+                               encoder_attention_mask=mm, use_cache=True,
+                               past_key_values=None)
+                past = out[1]
+                tok = torch.argmax(out[0][:, -1] @ wte.T, -1)
+                for t in range(GEN):
+                    ref_tokens[i, t] = int(tok)
+                    out = ref_gpt2(input_ids=tok[None],
+                                   encoder_hidden_states=m,
+                                   encoder_attention_mask=mm, use_cache=True,
+                                   past_key_values=past)
+                    past = out[1]
+                    tok = torch.argmax(out[0][:, -1] @ wte.T, -1)
+
+        # an eos id that never occurs in the reference rollout, so our
+        # early-stop logic stays inert and the comparison is pure
+        eos_id = next(v for v in range(GV)
+                      if v not in set(ref_tokens.ravel().tolist()))
+        tokens, lengths = generate(
+            model, params, jnp.asarray(prompt, jnp.int32),
+            jnp.asarray(p_len, jnp.int32), mode="greedy",
+            memory=jnp.asarray(mem), memory_mask=jnp.asarray(mem_mask),
+            max_len=GEN, eos_id=eos_id, pad_id=0,
+        )
+        np.testing.assert_array_equal(np.asarray(tokens), ref_tokens)
