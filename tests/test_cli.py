@@ -69,3 +69,32 @@ class TestRunPMR:
                 "--tiny", "--img_feat_file", feature_pickle,
                 "--output_dir", str(tmp_path / "x"),
             ])
+
+
+class TestQuantizeFlag:
+    def test_quantize_rejected_for_training(self):
+        """--quantize is inference-only (round() has zero gradient)."""
+        from multimodal_context_reasoning_tpu.cli.common import (
+            build_arg_parser,
+            configs_from_args,
+        )
+
+        args = build_arg_parser("pmr").parse_args(
+            ["--do_train", "--tiny", "--quantize", "int8"]
+        )
+        with pytest.raises(SystemExit, match="inference-only"):
+            configs_from_args(args)
+
+    def test_quantize_threads_into_every_tower(self):
+        from multimodal_context_reasoning_tpu.cli.common import (
+            build_arg_parser,
+            configs_from_args,
+        )
+
+        args = build_arg_parser("pmr").parse_args(
+            ["--do_test", "--tiny", "--quantize", "int8"]
+        )
+        cfg, _ = configs_from_args(args)
+        assert cfg.global_encoder.quantize == "int8"
+        assert cfg.seq_encoder.quantize == "int8"
+        assert cfg.roberta.quantize == "int8"
