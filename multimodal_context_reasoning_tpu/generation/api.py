@@ -15,7 +15,6 @@ them eagerly — one device dispatch per op, which on a tunneled TPU turns a
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -66,6 +65,25 @@ def _cbs(model, params, prompt_ids, prompt_len, adjacency, *,
 _cbs_jit = jax.jit(
     _cbs, static_argnums=(0,),
     static_argnames=("num_beams", "max_steps", "eos_ids"),
+)
+
+
+def _cbs_select(beams, logp, num_constraints, min_satisfy, eos_id):
+    from multimodal_context_reasoning_tpu.generation.fsm import (
+        select_best_beam_with_constraints,
+    )
+
+    tokens, _ = select_best_beam_with_constraints(
+        beams, logp, num_constraints, min_satisfy, (eos_id,)
+    )
+    lengths = jnp.sum(
+        jnp.cumprod((tokens != eos_id).astype(jnp.int32), axis=-1), axis=-1
+    )
+    return tokens, lengths
+
+
+_cbs_select_jit = jax.jit(
+    _cbs_select, static_argnames=("min_satisfy", "eos_id")
 )
 
 
@@ -133,27 +151,18 @@ def generate(
                 "mode='cbs' requires fsm_adjacency "
                 "(generation.fsm.FiniteStateMachineBuilder.build)"
             )
-        from multimodal_context_reasoning_tpu.generation.fsm import (
-            select_best_beam_with_constraints,
-        )
-
-        beams, logp = _cbs_jit(
-            model, params, prompt_ids, prompt_len, fsm_adjacency,
-            memory=memory, memory_mask=memory_mask,
-            num_beams=num_beams, max_steps=max_len, eos_ids=(eos_id,),
-        )
         if num_constraints is None:
             raise ValueError(
                 "mode='cbs' requires num_constraints ([B] ints — the "
                 "reference passes it alongside fsm, modeling_bert.py:1028)"
             )
-        tokens, _ = select_best_beam_with_constraints(
-            beams, logp, num_constraints, min_constraints_to_satisfy,
-            (eos_id,),
+        beams, logp = _cbs_jit(
+            model, params, prompt_ids, prompt_len, fsm_adjacency,
+            memory=memory, memory_mask=memory_mask,
+            num_beams=num_beams, max_steps=max_len, eos_ids=(eos_id,),
         )
-        lengths = jnp.sum(
-            jnp.cumprod((tokens != eos_id).astype(jnp.int32), axis=-1),
-            axis=-1,
+        return _cbs_select_jit(
+            beams, logp, jnp.asarray(num_constraints, jnp.int32),
+            min_satisfy=min_constraints_to_satisfy, eos_id=eos_id,
         )
-        return tokens, lengths
     raise ValueError(f"unknown mode {mode!r}")

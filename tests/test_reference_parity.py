@@ -19,8 +19,6 @@ floor, v10.py:857-858); text rows are full-length so the quirk is inert
 anyway, while IMAGE padding differs per example and must match.
 """
 
-import dataclasses
-
 import numpy as np
 import pytest
 
