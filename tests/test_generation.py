@@ -545,3 +545,60 @@ class TestBeamScorerOracle:
                 assert int(np.asarray(state.fin_count)[b]) >= min(
                     len(hyps[b].beams), 1
                 ) or len(hyps[b].beams) == 0
+
+
+class TestTopKTopPOracle:
+    """Direct oracle: top_k_top_p_filter vs a literal torch transcription of
+    the reference's top_k_top_p_filtering (modeling/modeling_utils.py:1046-1079)."""
+
+    @staticmethod
+    def _reference_filter(logits_np, top_k, top_p):
+        import torch
+        import torch.nn.functional as F
+
+        logits = torch.tensor(logits_np.copy())
+        filter_value = -float("inf")
+        min_tokens_to_keep = 1
+        if top_k > 0:
+            top_k = min(max(top_k, min_tokens_to_keep), logits.size(-1))
+            indices_to_remove = (
+                logits < torch.topk(logits, top_k)[0][..., -1, None]
+            )
+            logits[indices_to_remove] = filter_value
+        if top_p < 1.0:
+            sorted_logits, sorted_indices = torch.sort(logits, descending=True)
+            cumulative_probs = torch.cumsum(
+                F.softmax(sorted_logits, dim=-1), dim=-1
+            )
+            sorted_indices_to_remove = cumulative_probs > top_p
+            sorted_indices_to_remove[..., 1:] = \
+                sorted_indices_to_remove[..., :-1].clone()
+            sorted_indices_to_remove[..., 0] = 0
+            indices_to_remove = sorted_indices_to_remove.scatter(
+                1, sorted_indices, sorted_indices_to_remove
+            )
+            logits[indices_to_remove] = filter_value
+        return logits.numpy()
+
+    @pytest.mark.parametrize("top_k,top_p", [
+        (0, 0.9), (5, 1.0), (5, 0.7), (0, 0.3), (50, 0.95), (3, 0.05),
+    ])
+    def test_kept_sets_and_values_match(self, top_k, top_p):
+        pytest.importorskip("torch")
+        from multimodal_context_reasoning_tpu.generation.decode import (
+            top_k_top_p_filter,
+        )
+
+        rng = np.random.default_rng(17)
+        logits = rng.normal(size=(6, 40)).astype(np.float32) * 2.0
+        ref = self._reference_filter(logits, top_k, top_p)
+        got = np.asarray(top_k_top_p_filter(jnp.asarray(logits), top_k, top_p))
+
+        ref_kept = np.isfinite(ref)
+        got_kept = got > -1e8          # ours masks with -1e9, not -inf
+        np.testing.assert_array_equal(got_kept, ref_kept)
+        np.testing.assert_allclose(
+            got[got_kept], ref[ref_kept], rtol=1e-6, atol=1e-6
+        )
+        # at least one token survives every row (min_tokens_to_keep=1)
+        assert got_kept.any(axis=-1).all()
