@@ -78,8 +78,27 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
             logger.info("restored model config from %s", cfg_path)
     n_model = max(args.mesh_model, 1)
     n_data = args.mesh_data or (len(jax.devices()) // n_model)
-    mesh = make_mesh((n_data, n_model)) if n_data * n_model > 1 else None
+    # an explicit --mesh_data smaller than the device count runs on the
+    # first n_data*n_model devices (the rest stay idle)
+    mesh_devices = jax.devices()[: n_data * n_model]
+    mesh = (
+        make_mesh((n_data, n_model), devices=mesh_devices)
+        if n_data * n_model > 1 else None
+    )
     logger.info("devices=%s mesh=(%d,%d)", jax.devices(), n_data, n_model)
+    if mesh is not None:
+        # every batch axis (examples AND the 4x candidate rows) shards over
+        # the data axis; examples must divide it or pjit fails mid-train
+        # with an opaque divisibility error
+        for flag, val in (("per_gpu_train_batch_size",
+                           args.per_gpu_train_batch_size),
+                          ("per_gpu_eval_batch_size",
+                           args.per_gpu_eval_batch_size)):
+            if val % n_data:
+                raise SystemExit(
+                    f"--{flag}={val} must be divisible by the data-mesh "
+                    f"size {n_data} (pass --mesh_data to shrink the mesh)"
+                )
 
     feats = load_image_features(
         args.img_feat_file, cfg.global_encoder.img_feature_dim

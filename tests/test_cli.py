@@ -98,3 +98,93 @@ class TestQuantizeFlag:
         assert cfg.global_encoder.quantize == "int8"
         assert cfg.seq_encoder.quantize == "int8"
         assert cfg.roberta.quantize == "int8"
+
+
+class TestRunPMRTrain:
+    def test_do_train_end_to_end(self, feature_pickle, tmp_path):
+        """CLI --do_train: dataset build, config.json save, Trainer wiring
+        (mesh, ckpt dir), fit, best-acc report — the reference's train
+        entry flow (run_PMR_ModCR.py:839-858) in-process on real data."""
+        import os
+
+        out = tmp_path / "train_out"
+        state = pmr_main([
+            "--do_train", "--tiny", "--limit", "6",
+            "--train_file", PMR_VAL, "--val_file", PMR_VAL,
+            "--img_feat_file", feature_pickle,
+            "--output_dir", str(out),
+            "--per_gpu_train_batch_size", "2",
+            "--per_gpu_eval_batch_size", "2",
+            "--mesh_data", "2",         # sharded (2,1) mesh on the 8-dev
+                                        # virtual backend; batch 2 examples
+                                        # (8 rows) shards cleanly over it
+            "--num_train_epochs", "1",
+            "--gradient_accumulation_steps", "1",
+            "--valid_steps", "2", "--epoch_begin", "1",
+            "--learning_rate", "1e-3", "--scheduler", "constant",
+        ])
+        # 6 examples / batch 2, drop_last → 3 train steps
+        assert int(state.step) == 3
+        assert os.path.exists(out / "config.json")
+        # mid-epoch eval fired (valid_steps=2, epoch_begin=1) and the best
+        # checkpoint was saved
+        from multimodal_context_reasoning_tpu.train.checkpoint import (
+            CheckpointManager,
+        )
+
+        assert CheckpointManager(str(out / "ckpt")).latest_step() is not None
+
+    def test_indivisible_batch_fails_fast(self, feature_pickle, tmp_path):
+        """A data mesh wider than the example batch must fail with a clear
+        message, not pjit's mid-train divisibility error."""
+        with pytest.raises(SystemExit, match="divisible by the data-mesh"):
+            pmr_main([
+                "--do_train", "--tiny", "--limit", "6",
+                "--train_file", PMR_VAL,
+                "--img_feat_file", feature_pickle,
+                "--output_dir", str(tmp_path / "x"),
+                "--per_gpu_train_batch_size", "3",
+                "--mesh_data", "2",
+            ])
+
+
+class TestRunVCRTrain:
+    def test_vcr_delegation_end_to_end(self, tmp_path):
+        """run_vcr: default grad-accum 4 + RoBERTa-body freeze through the
+        same main (run_vcr_ModCR.py:605,783-787), trained in-process on
+        real vcr_val.json rows."""
+        import os
+
+        from multimodal_context_reasoning_tpu.cli.run_vcr import main as vcr_main
+
+        VCR_VAL = "/root/reference/vcr_data/vcr_val.json"
+        try:
+            rows = [json.loads(l) for l in open(VCR_VAL) if l.strip()][:4]
+        except FileNotFoundError:
+            pytest.skip("reference vcr_data not mounted")
+        rng = np.random.default_rng(1)
+        feats = {}
+        for d in rows:
+            num = str(d["img_id"]).split("-")[-1]
+            feats[f"img-{num}"] = {
+                "features": rng.normal(size=(7, 20)).astype(np.float32)
+            }
+        pkl = tmp_path / "vf.pkl"
+        with open(pkl, "wb") as f:
+            pickle.dump(feats, f)
+
+        out = tmp_path / "vcr_out"
+        state = vcr_main([
+            "--do_train", "--tiny", "--limit", "4",
+            "--train_file", VCR_VAL,
+            "--img_feat_file", str(pkl),
+            "--output_dir", str(out),
+            "--per_gpu_train_batch_size", "2",
+            "--mesh_data", "1", "--mesh_model", "1",
+            "--num_train_epochs", "1",
+            "--learning_rate", "1e-3", "--scheduler", "constant",
+        ])
+        # grad-accum 4 default: 2 micro-batches < 4 → optimizer never
+        # applied, but both micro-steps ran
+        assert int(state.step) == 2
+        assert os.path.exists(out / "config.json")
