@@ -59,6 +59,15 @@ class Trainer:
 
         self.train_step = make_train_step(model, mesh=mesh)
         self.eval_step = make_eval_step(model, mesh=mesh)
+        # multi-host: each process feeds its LOCAL loader shard; lift the
+        # shards into global row-sharded arrays (parallel/multihost.py)
+        self._to_device = _device_batch
+        if mesh is not None and jax.process_count() > 1:
+            from multimodal_context_reasoning_tpu.parallel.multihost import (
+                global_batch,
+            )
+
+            self._to_device = lambda b: global_batch(b, mesh)
         self.ckpt = (
             CheckpointManager(checkpoint_dir) if checkpoint_dir else None
         )
@@ -97,7 +106,7 @@ class Trainer:
         count = 0.0
         pending = None
         for batch in self.val_loader:
-            out = self.eval_step(params, _device_batch(batch))
+            out = self.eval_step(params, self._to_device(batch))
             if pending is not None:
                 correct += float(pending["correct"])
                 count += float(pending["count"])
@@ -143,7 +152,7 @@ class Trainer:
             for batch in self.train_loader:
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = self.train_step(
-                    state, _device_batch(batch), step_rng
+                    state, self._to_device(batch), step_rng
                 )
                 micro += 1
                 sums = (

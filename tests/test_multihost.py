@@ -1,0 +1,114 @@
+"""True multi-process (DCN-style) validation of the SPMD train step.
+
+Spawns TWO separate Python processes, each owning 4 virtual CPU devices,
+connected through ``jax.distributed.initialize`` — the same topology as a
+2-host TPU pod over DCN. Each process feeds its LOCAL half of the global
+batch through ``parallel.multihost.global_batch`` and runs the full
+sharded ModCR train step; both ranks must report the identical psum'd
+loss. This is the one claim ("multi-host comes free through the same pjit
+program", SURVEY §2.6) that single-process mesh tests cannot check.
+"""
+
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    rank = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{{port}}",
+        num_processes=2, process_id=rank,
+    )
+    import numpy as np
+    from __graft_entry__ import _synthetic_batch
+    from multimodal_context_reasoning_tpu.core.config import (
+        ModCRConfig, TrainConfig,
+    )
+    from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+    from multimodal_context_reasoning_tpu.parallel.mesh import make_mesh
+    from multimodal_context_reasoning_tpu.parallel.multihost import (
+        global_batch,
+    )
+    from multimodal_context_reasoning_tpu.parallel.partition import (
+        param_shardings,
+    )
+    from multimodal_context_reasoning_tpu.train.optim import make_optimizer
+    from multimodal_context_reasoning_tpu.train.state import TrainState
+    from multimodal_context_reasoning_tpu.train.step import make_train_step
+
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+    mesh = make_mesh((4, 2))
+    cfg = ModCRConfig.tiny()
+    model = ModCRModel(cfg)
+
+    # per-process LOCAL half (2 of the 4 global examples); rank-dependent
+    # content proves the psum really mixes both hosts' data
+    local = _synthetic_batch(cfg, n_examples=2, seed=rank)
+    glob = global_batch(local, mesh)
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jax.tree.map(np.asarray, local)
+    )
+    params = jax.device_put(params, param_shardings(params, mesh))
+    tx = make_optimizer(
+        TrainConfig(per_device_batch_size=1, mesh_shape=(4, 2)),
+        total_steps=10, params=params,
+    )
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, mesh=mesh, donate=False)
+    state, metrics = step(state, glob, jax.random.PRNGKey(1))
+    loss = float(jax.device_get(metrics["loss"]))
+    assert np.isfinite(loss)
+    print(f"RANK{{rank}} loss={{loss:.6f}}", flush=True)
+""").format(repo="/root/repo")
+
+
+@pytest.mark.slow
+def test_two_process_train_step(tmp_path):
+    # a free port for the coordinator
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = {
+        k: v for k, v in __import__("os").environ.items()
+        if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_", "XLA_FLAGS",
+                             "JAX_PLATFORMS", "_MODCR"))
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(r), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for r in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process run timed out")
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+
+    losses = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("RANK")][-1]
+        losses.append(float(line.split("loss=")[1]))
+    # both ranks observe the SAME psum'd global loss
+    assert losses[0] == pytest.approx(losses[1], abs=1e-6)
