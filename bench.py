@@ -24,9 +24,13 @@ import sys
 import time
 
 N_EXAMPLES = int(os.environ.get("MODCR_BENCH_EXAMPLES", "32"))
-                        # batch of 32 examples -> 128 candidate rows
-                        # (measured knee of the throughput curve on v5e:
-                        #  8 ex -> 125 ex/s, 32 -> 169, 64 -> 168)
+                        # batch of 32 examples -> 128 candidate rows: the
+                        # knee of the curve (48 -> 166, 64 -> 167 ex/s).
+                        # Single probes of 24/40 once read ~189 but did not
+                        # reproduce under alternated repeats (b32 181.5 vs
+                        # b40 173.5 consistently) — the tunneled chip's
+                        # throughput drifts ~±5% across time windows, so
+                        # trust only back-to-back comparisons.
 WARMUP = 2
 ITERS = 20
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
