@@ -110,23 +110,42 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=2)
         sentinel = object()
         err: list = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone —
+            an abandoned iterator (e.g. ``next(iter(loader))`` for a
+            sample batch) must not leave this thread parked on a full
+            queue holding batch memory forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for idx in self._index_batches():
-                    q.put(self._make_batch(idx))
+                    if not _put(self._make_batch(idx)):
+                        return
             except BaseException as e:  # surfaced in the consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            # consumer exiting (normally or abandoned): release the producer
+            stop.set()

@@ -126,3 +126,25 @@ class TestTrainerFit:
         # run_PMR_ModCR.py:218-221): at most one extra micro-batch per
         # remaining epoch after the cap
         assert int(state.step) <= tcfg.max_steps + trainer.num_epochs
+
+
+class TestLoaderAbandonment:
+    def test_abandoned_iterator_releases_producer_thread(self, loaders):
+        """next(iter(loader)) for a sample batch (init_state does this)
+        must not leave the prefetch thread parked on a full queue."""
+        import threading
+        import time
+
+        cfg, train_loader, _ = loaders
+        before = threading.active_count()
+        for _ in range(5):
+            next(iter(train_loader))
+        # producers notice the abandoned consumer within their put timeout
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            if threading.active_count() <= before + 1:
+                break
+            time.sleep(0.2)
+        assert threading.active_count() <= before + 1, (
+            f"{threading.active_count() - before} leaked prefetch threads"
+        )
