@@ -17,12 +17,93 @@ Reproduces the reference's optimization recipe (run_PMR_ModCR.py:127-145):
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, NamedTuple
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from multimodal_context_reasoning_tpu.core.config import TrainConfig
+
+
+class MaskedMultiStepsState(NamedTuple):
+    mini_step: jnp.ndarray      # [] int32: micro-step within the window
+    inner_state: Any
+    acc_grads: Any              # running-mean grads; MaskedNode off-mask
+
+
+def masked_multisteps(
+    inner: optax.GradientTransformation,
+    every_k: int,
+    mask: Any,                  # pytree of bool matching params
+) -> optax.GradientTransformation:
+    """``optax.MultiSteps`` that accumulates ONLY where ``mask`` is True.
+
+    The frozen towers' gradients are structurally zero (stop_gradient), yet
+    stock MultiSteps still materializes a full fp32 accumulator for them —
+    ~880 MB for ModCR's two frozen encoders on a 16 GB v5e. Off-mask leaves
+    store an ``optax.MaskedNode`` instead and are reconstructed as zeros at
+    the update boundary, so the emitted updates are bit-identical to
+    MultiSteps with ``use_grad_mean=True`` (running-mean accumulation).
+    """
+
+    def init(params):
+        acc = jax.tree.map(
+            lambda p, m: jnp.zeros_like(p) if m else optax.MaskedNode(),
+            params, mask,
+        )
+        return MaskedMultiStepsState(
+            mini_step=jnp.zeros([], jnp.int32),
+            inner_state=inner.init(params),
+            acc_grads=acc,
+        )
+
+    def update(grads, state, params=None, **extra):
+        k = state.mini_step
+        # running mean: acc += (g - acc) / (k + 1)   (MultiSteps semantics)
+        acc = jax.tree.map(
+            lambda a, g: (
+                a + (g - a) / (k + 1).astype(g.dtype)
+                if not isinstance(a, optax.MaskedNode) else a
+            ),
+            state.acc_grads, grads,
+            is_leaf=lambda x: isinstance(x, optax.MaskedNode),
+        )
+        emit = (k + 1) % every_k == 0
+
+        def full(a, g):
+            return jnp.zeros_like(g) if isinstance(a, optax.MaskedNode) else a
+
+        mean_grads = jax.tree.map(
+            full, acc, grads,
+            is_leaf=lambda x: isinstance(x, optax.MaskedNode),
+        )
+
+        def do_update(_):
+            updates, new_inner = inner.update(mean_grads, state.inner_state,
+                                              params, **extra)
+            return updates, new_inner
+
+        def skip_update(_):
+            return jax.tree.map(jnp.zeros_like, grads), state.inner_state
+
+        updates, new_inner = jax.lax.cond(emit, do_update, skip_update, None)
+        # reset the accumulator at the boundary
+        acc = jax.tree.map(
+            lambda a: (
+                a if isinstance(a, optax.MaskedNode)
+                else jnp.where(emit, jnp.zeros_like(a), a)
+            ),
+            acc,
+            is_leaf=lambda x: isinstance(x, optax.MaskedNode),
+        )
+        return updates, MaskedMultiStepsState(
+            mini_step=(k + 1) % every_k,
+            inner_state=new_inner,
+            acc_grads=acc,
+        )
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_schedule(cfg: TrainConfig, total_steps: int) -> optax.Schedule:
@@ -130,5 +211,9 @@ def make_optimizer(
         ),
     )
     if cfg.gradient_accumulation_steps > 1:
-        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+        # accumulate only trainable partitions: the frozen towers' grads
+        # are structurally zero, and a full-tree fp32 accumulator would
+        # waste ~880 MB of the v5e's 16 GB (see masked_multisteps)
+        acc_mask = jax.tree.map(lambda lbl: lbl != "frozen", labels)
+        tx = masked_multisteps(tx, cfg.gradient_accumulation_steps, acc_mask)
     return tx

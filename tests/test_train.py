@@ -166,3 +166,66 @@ class TestCheckpoint:
         b = jax.tree_util.tree_leaves(restored.params)[0]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         mgr.close()
+
+
+class TestMaskedMultiSteps:
+    def test_updates_match_optax_multisteps(self):
+        """masked_multisteps (all-True mask) emits bit-identical updates to
+        optax.MultiSteps(use_grad_mean=True) over several windows."""
+        import optax
+
+        from multimodal_context_reasoning_tpu.train.optim import (
+            masked_multisteps,
+        )
+
+        inner = optax.adam(1e-2)
+        params = {"a": jnp.arange(4.0), "b": jnp.ones((2, 3))}
+        mask = jax.tree.map(lambda _: True, params)
+        ours = masked_multisteps(inner, 3, mask)
+        ref = optax.MultiSteps(inner, 3, use_grad_mean=True)
+
+        s_o, s_r = ours.init(params), ref.init(params)
+        rng = np.random.default_rng(0)
+        p_o = p_r = params
+        for t in range(7):
+            g = jax.tree.map(
+                lambda p: jnp.asarray(
+                    rng.normal(size=p.shape).astype(np.float32)
+                ),
+                params,
+            )
+            u_o, s_o = ours.update(g, s_o, p_o)
+            u_r, s_r = ref.update(g, s_r, p_r)
+            for k in params:
+                np.testing.assert_allclose(
+                    np.asarray(u_o[k]), np.asarray(u_r[k]),
+                    rtol=1e-6, atol=1e-7,
+                )
+            p_o = optax.apply_updates(p_o, u_o)
+            p_r = optax.apply_updates(p_r, u_r)
+
+    def test_frozen_leaves_store_no_accumulator(self, setup):
+        """The production optimizer's accumulation state holds MaskedNode
+        (no array) for every frozen-tower leaf."""
+        import optax
+
+        from multimodal_context_reasoning_tpu.train.optim import (
+            MaskedMultiStepsState,
+        )
+
+        cfg, model, batch, params = setup
+        tcfg = TrainConfig(gradient_accumulation_steps=4)
+        tx = make_optimizer(tcfg, total_steps=10, params=params)
+        state = tx.init(params)
+        assert isinstance(state, MaskedMultiStepsState)
+        acc = state.acc_grads["params"]
+        frozen_leaves = jax.tree.leaves(
+            acc["global_enc"],
+            is_leaf=lambda x: isinstance(x, optax.MaskedNode),
+        )
+        assert frozen_leaves and all(
+            isinstance(l, optax.MaskedNode) for l in frozen_leaves
+        )
+        # trainable tower keeps a real accumulator
+        live = jax.tree.leaves(acc["roberta"])
+        assert live and hasattr(live[0], "shape")
