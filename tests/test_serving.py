@@ -146,3 +146,45 @@ class TestParamsDtype:
             np.asarray(out[0]["logits"]), np.asarray(fp[0]["logits"]),
             atol=0.05, rtol=0.1,
         )
+
+
+class TestServeCLI:
+    def test_main_wiring_builds_scorer_and_serves(self, tmp_path, monkeypatch):
+        """cli/serve.py main(): feature load, hash-tokenizer fallback,
+        random-init params, scorer construction with params_dtype — up to
+        the (captured) serve() call."""
+        import pickle
+
+        import numpy as np
+
+        from multimodal_context_reasoning_tpu.cli import serve as serve_cli
+
+        rng = np.random.default_rng(0)
+        feats = {
+            "img-1": {"features": rng.normal(size=(5, 20)).astype(np.float32)}
+        }
+        pkl = tmp_path / "f.pkl"
+        with open(pkl, "wb") as f:
+            pickle.dump(feats, f)
+
+        captured = {}
+
+        def fake_serve(scorer, host, port):
+            captured["scorer"] = scorer
+            captured["addr"] = (host, port)
+
+        monkeypatch.setattr(
+            "multimodal_context_reasoning_tpu.serving.server.serve",
+            fake_serve,
+        )
+        serve_cli.main([
+            "--img_feat_file", str(pkl), "--tiny", "--micro_batch", "2",
+            "--params_dtype", "bfloat16", "--port", "9",
+        ])
+        sc = captured["scorer"]
+        assert sc.micro_batch == 2 and captured["addr"][1] == 9
+        import dataclasses
+
+        ex = dataclasses.replace(_example(0), img_id="img-1")
+        out = sc.score([ex])
+        assert len(out) == 1 and np.all(np.isfinite(out[0]["logits"]))
