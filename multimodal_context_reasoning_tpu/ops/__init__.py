@@ -10,3 +10,8 @@ from multimodal_context_reasoning_tpu.ops.chunk import (  # noqa: F401
 from multimodal_context_reasoning_tpu.ops.attention import (  # noqa: F401
     dot_product_attention,
 )
+from multimodal_context_reasoning_tpu.ops.quant import (  # noqa: F401
+    QuantDense,
+    int8_matmul,
+    quantize_symmetric,
+)

@@ -18,3 +18,6 @@ from multimodal_context_reasoning_tpu.parallel.partition import (  # noqa: F401
     param_shardings,
     PARAM_RULES,
 )
+from multimodal_context_reasoning_tpu.parallel.multihost import (  # noqa: F401
+    global_batch,
+)
