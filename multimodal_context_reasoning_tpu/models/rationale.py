@@ -41,7 +41,6 @@ from multimodal_context_reasoning_tpu.models.encoders import (
 )
 from multimodal_context_reasoning_tpu.models.gpt2 import GPT2Decoder
 from multimodal_context_reasoning_tpu.models.layers import FeedForward
-from multimodal_context_reasoning_tpu.ops.attention import dot_product_attention
 from multimodal_context_reasoning_tpu.ops.masks import NEG_INF
 
 
@@ -58,9 +57,16 @@ def binary_to_mp(logits: jnp.ndarray, num_labels: int = 4) -> jnp.ndarray:
 class ClsReasonLayer(nn.Module):
     """Single-query cross-attention of the CLS over a memory + BERT FFN.
 
-    ClsLayer2 (v10.py:801-837): BERT-style multi-head attention with the
-    fused CLS as the only query, followed by intermediate/output FFN with
-    residual+LN; returns the attention probabilities.
+    ClsLayer2, rebuilt to its EXACT attention form (v10.py:801-837):
+    SINGLE-head, raw (unscaled — no 1/sqrt(d), only ``tau``) dot product of
+    the projected CLS query against ``align_k_proj(memory)``, whose output
+    serves as BOTH keys and values (:818-821 — ``self_chunk_align_v`` is a
+    clone of the k-projection); optional ``neg`` takes 1−softmax (:824-827);
+    both the attention weights and the context output use
+    ``hidden_dropout_prob`` (the reference reuses one Dropout module);
+    dense + residual + LN + BertIntermediate/Output FFN. Returns the
+    (post-dropout, as the reference does) attention weights for the beam
+    constraint extraction (v10.py:2107-2133).
     """
 
     config: EncoderConfig
@@ -70,34 +76,33 @@ class ClsReasonLayer(nn.Module):
         self,
         memory: jnp.ndarray,                 # [B, M, D]
         cls: jnp.ndarray,                    # [B, D]
-        memory_bias: Optional[jnp.ndarray],  # [B, 1, 1, M]
+        memory_bias: Optional[jnp.ndarray],  # [B, 1, 1, M] additive
         *,
         deterministic: bool = True,
+        tau: float = 1.0,
+        neg: bool = False,
     ):
         c = self.config
         dt = c.jnp_dtype
-        D, H = c.hidden_size, c.num_attention_heads
-        Dh = D // H
-        B, M, _ = memory.shape
+        D = c.hidden_size
 
-        q = nn.Dense(D, dtype=dt, name="query")(cls[:, None, :])
-        k = nn.Dense(D, dtype=dt, name="key")(memory)
-        v = nn.Dense(D, dtype=dt, name="value")(memory)
-        rng = None
-        if not deterministic and c.attention_probs_dropout_prob > 0:
-            rng = self.make_rng("dropout")
-        out, probs = dot_product_attention(
-            q.reshape(B, 1, H, Dh), k.reshape(B, M, H, Dh), v.reshape(B, M, H, Dh),
-            memory_bias,
-            dropout_rate=c.attention_probs_dropout_prob, dropout_rng=rng,
-            deterministic=deterministic, return_probs=True,
+        q = nn.Dense(D, dtype=dt, name="cls_q_proj")(cls[:, None, :])
+        kv = nn.Dense(D, dtype=dt, name="align_k_proj")(memory)
+        scores = jnp.einsum("bqd,bmd->bqm", q, kv).astype(jnp.float32)
+        if memory_bias is not None:
+            scores = scores + memory_bias[:, 0].astype(jnp.float32)
+        probs = jax.nn.softmax(scores / tau, axis=-1)
+        if neg:
+            probs = 1.0 - probs
+        probs = nn.Dropout(c.hidden_dropout_prob)(
+            probs, deterministic=deterministic
         )
-        out = nn.Dense(D, dtype=dt, name="out")(out.reshape(B, D))
+        ctx = jnp.einsum("bqm,bmd->bqd", probs.astype(kv.dtype), kv)[:, 0]
+        out = nn.Dense(D, dtype=dt, name="dense")(ctx)
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=dt, name="layer_norm")(out + cls)
         h = FeedForward(c, name="ffn")(h[:, None, :], deterministic=deterministic)[:, 0]
-        # probs: [B, H, 1, M] → [B, M] summed over heads
-        return h, jnp.sum(probs[:, :, 0, :], axis=1)
+        return h, probs[:, 0, :]
 
 
 class RationaleOutput(NamedTuple):

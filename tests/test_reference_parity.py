@@ -405,3 +405,90 @@ class TestReferenceGPT2:
             max_len=GEN, eos_id=eos_id, pad_id=0,
         )
         np.testing.assert_array_equal(np.asarray(tokens), ref_tokens)
+
+
+class TestClsLayer2Parity:
+    def test_cls_reason_layer_matches_reference(self, ref_modules):
+        """ClsReasonLayer vs the reference's ClsLayer2 (v10.py:801-837):
+        single-head UNSCALED dot-product attention with V = K projection,
+        grafted weights, identical (output, attention) on the same inputs
+        including word-mask padding and the tau/neg knobs."""
+        import bench
+
+        _, v10, _ = bench._import_reference_modeling()
+        from multimodal_context_reasoning_tpu.core.config import EncoderConfig
+        from multimodal_context_reasoning_tpu.models.rationale import (
+            ClsReasonLayer,
+        )
+
+        ref_layer = None
+        # reuse the calec fixture's config geometry by building a fresh
+        # ClsLayer2 at the same dims
+        from a_transformers.configuration_bert import BertConfig
+
+        cfg_t = BertConfig(
+            vocab_size=VOCAB, hidden_size=D, num_hidden_layers=1,
+            num_attention_heads=HEADS, intermediate_size=2 * D,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        cfg_t.output_attentions = False
+        torch.manual_seed(31)
+        ref_layer = v10.ClsLayer2(cfg_t)
+        ref_layer.eval()
+
+        rng = np.random.default_rng(3)
+        B, M = 3, 10
+        memory = rng.normal(size=(B, M, D)).astype(np.float32)
+        cls = rng.normal(size=(B, D)).astype(np.float32)
+        word = np.ones((B, M), np.float32)
+        word[0, M - 3:] = 0.0                       # padded memory slots
+        word_mask = ((1.0 - word) * -10000.0)[:, None, :]   # [B, 1, M]
+
+        ecfg = EncoderConfig(
+            vocab_size=VOCAB, hidden_size=D, num_hidden_layers=1,
+            num_attention_heads=HEADS, intermediate_size=2 * D,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        layer = ClsReasonLayer(ecfg)
+
+        sd = {k: v.detach().numpy() for k, v in ref_layer.state_dict().items()}
+        t = lambda w: np.ascontiguousarray(w.T)
+        params = {"params": {
+            "cls_q_proj": {"kernel": t(sd["cls_q_proj.weight"]),
+                           "bias": sd["cls_q_proj.bias"]},
+            "align_k_proj": {"kernel": t(sd["align_k_proj.weight"]),
+                             "bias": sd["align_k_proj.bias"]},
+            "dense": {"kernel": t(sd["dense.weight"]),
+                      "bias": sd["dense.bias"]},
+            "layer_norm": {"scale": sd["LayerNorm.weight"],
+                           "bias": sd["LayerNorm.bias"]},
+            "ffn": {
+                "intermediate": {"kernel": t(sd["intermediate.dense.weight"]),
+                                 "bias": sd["intermediate.dense.bias"]},
+                "output": {"kernel": t(sd["output.dense.weight"]),
+                           "bias": sd["output.dense.bias"]},
+                "output_layer_norm": {"scale": sd["output.LayerNorm.weight"],
+                                      "bias": sd["output.LayerNorm.bias"]},
+            },
+        }}
+
+        for tau, neg in ((1.0, False), (0.5, True)):
+            with torch.no_grad():
+                ref_out, ref_attn = ref_layer(
+                    torch.tensor(memory), torch.tensor(cls),
+                    torch.tensor(word_mask), neg=neg, tau=tau,
+                )
+            out, attn = layer.apply(
+                params, jnp.asarray(memory), jnp.asarray(cls),
+                jnp.asarray(word_mask)[:, None],   # [B,1,1,M]
+                deterministic=True, tau=tau, neg=neg,
+            )
+            # unscaled dot products make the softmax inputs large; fp
+            # reassociation shows up at ~1e-4 absolute
+            np.testing.assert_allclose(
+                np.asarray(out), ref_out.numpy(), rtol=2e-3, atol=5e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(attn), ref_attn.numpy()[:, 0, :],
+                rtol=2e-3, atol=1e-5,
+            )
