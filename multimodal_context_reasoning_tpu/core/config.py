@@ -170,6 +170,11 @@ class GPT2Config:
     initializer_range: float = 0.02
     add_cross_attention: bool = True
     pad_token_id: int = 50256  # GPT-2 has no pad; reference uses tokenizer pad
+    # True = HF GPT-2 semantics (LM head shares wte). The reference's
+    # rationale family instead trains a separate untied
+    # ``lm_head: Linear(n_embd, vocab, bias=False)`` (v10.py:1335) —
+    # models/rationale.py forces False for that family.
+    tie_word_embeddings: bool = True
     dtype: str = "float32"
 
     @property

@@ -279,6 +279,11 @@ def convert_gpt2(sd: StateDict, num_layers: int) -> Dict[str, Any]:
         "ln_f": {"scale": _require(sd, "ln_f.weight"),
                  "bias": _require(sd, "ln_f.bias")},
     }
+    # the rationale family's separate untied head (v10.py:1335) — stored
+    # torch-style [vocab, D]
+    lm = _get(sd, "lm_head.weight")
+    if lm is not None:
+        tree["lm_head"] = {"kernel": _t(lm)}
     for i in range(num_layers):
         p = f"h.{i}."
         D = sd[p + "attn.c_attn.weight"].shape[0]

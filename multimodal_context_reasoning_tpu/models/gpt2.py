@@ -233,7 +233,15 @@ class GPT2Decoder(nn.Module):
                 new_k.append(updated[0])
                 new_v.append(updated[1])
         h = nn.LayerNorm(epsilon=c.layer_norm_epsilon, name="ln_f")(h)
-        logits = wte.attend(h)           # tied LM head
+        if c.tie_word_embeddings:
+            logits = wte.attend(h)       # tied LM head (HF GPT-2)
+        else:
+            # untied head of the reference's rationale family (v10.py:1335)
+            logits = nn.Dense(
+                c.vocab_size, use_bias=False,
+                kernel_init=nn.initializers.normal(c.initializer_range),
+                name="lm_head",
+            )(h)
         new_cache = (
             KVCache(jnp.stack(new_k), jnp.stack(new_v)) if new_k else None
         )

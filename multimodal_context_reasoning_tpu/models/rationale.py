@@ -136,9 +136,16 @@ class RationaleModel(nn.Module):
         img_mask = batch["img_mask"]
         B, T = input_ids.shape
 
+        import dataclasses
+
         global_enc = GlobalImageEncoder(c, name="global_enc")
         seq_enc = ChunkAlignEncoder(c, self.schedule, name="seq_enc")
-        dec = GPT2Decoder(self.gpt2, name="dec")
+        # the rationale family trains a separate UNTIED lm_head
+        # (v10.py:1335-1336), not HF GPT-2's tied head
+        dec = GPT2Decoder(
+            dataclasses.replace(self.gpt2, tie_word_embeddings=False),
+            name="dec",
+        )
 
         full_mask = jnp.concatenate([text_mask, img_mask], axis=-1)
         g = global_enc(

@@ -492,3 +492,181 @@ class TestClsLayer2Parity:
                 np.asarray(attn), ref_attn.numpy()[:, 0, :],
                 rtol=2e-3, atol=1e-5,
             )
+
+
+class TestRationaleCompositeParity:
+    def test_chunkalign_cls_dec5_4_losses_match(self, ref_modules):
+        """Full ChunkAlign_CLS_dec5_4 forward (v10.py:1319-1409) vs
+        RationaleModel with grafted weights: binary cls loss, 4-way
+        decisions, and the teacher-forced XE over the gold candidate's
+        cross-attention decode — including the UNTIED lm_head."""
+        import bench
+
+        tra, v10, _ = bench._import_reference_modeling()
+        from a_transformers.configuration_bert import BertConfig
+        from a_transformers.configuration_gpt2 import GPT2Config as RefGPT2Config
+
+        from multimodal_context_reasoning_tpu.core.config import (
+            ChunkAlignConfig,
+            EncoderConfig,
+            GPT2Config,
+        )
+        from multimodal_context_reasoning_tpu.interop.torch_bridge import (
+            convert_bert_encoder,
+            convert_gpt2,
+        )
+        from multimodal_context_reasoning_tpu.models.rationale import (
+            RationaleModel,
+        )
+
+        GVOC, GLAY = 160, 2
+        PAD, B_R, E_R = 0, 150, 151
+
+        bcfg = BertConfig(
+            vocab_size=VOCAB, hidden_size=D, num_hidden_layers=LAYERS,
+            num_attention_heads=HEADS, intermediate_size=2 * D,
+            max_position_embeddings=64, type_vocab_size=2,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        bcfg.img_feature_dim = FDIM
+        bcfg.img_feature_type = "faster_r-cnn"
+        bcfg.output_attentions = True
+        bcfg.output_hidden_states = False
+        bcfg.use_img_layernorm = None
+        bcfg.add_residual = False
+        bcfg.add_local_residual = False
+        bcfg.max_hypo = T
+
+        gcfg_t = RefGPT2Config(
+            vocab_size=GVOC, n_positions=64, n_ctx=64, n_embd=D,
+            n_layer=GLAY, n_head=HEADS, resid_pdrop=0.0, embd_pdrop=0.0,
+            attn_pdrop=0.0, add_cross_attention=True,
+        )
+
+        class _Toker:
+            pad_token_id = PAD
+
+            def encode(self, s):
+                return [B_R if "b_rtnl" in s else E_R]
+
+        torch.manual_seed(41)
+        with torch.no_grad():
+            oscar = tra.BertImgModel(bcfg)
+            seq = v10.SeqBertImgModel(bcfg)
+            dec = tra.GPT2Model(gcfg_t)
+            dec.vocab_size = GVOC          # composite reads dec.vocab_size
+            ref = v10.ChunkAlign_CLS_dec5_4(oscar, seq, dec, _Toker(), 4)
+            ref.eval()
+
+        x = _inputs()
+        rng = np.random.default_rng(7)
+        label_flat = np.zeros((N,), np.int64)
+        label_flat[2] = 1                       # gold candidate = 2
+        Lg = 12
+        expl_row = np.full((Lg,), PAD, np.int64)
+        real = rng.integers(1, GVOC - 10, size=8)
+        expl_row[:8] = real
+        expl_rows = np.tile(expl_row, (N, 1))   # all 4 rows carry a copy
+        attn_rows = (expl_rows != PAD).astype(np.float32)
+
+        t = torch.tensor
+        input_mask = t(np.concatenate([x["text_mask"], x["img_mask"]], -1))
+        with torch.no_grad():
+            ref_gen, ref_cls, ref_matched = ref(
+                input_ids=t(x["input_ids"]), img_feat=t(x["img_feat"]),
+                expl_ids=t(expl_rows), input_mask=input_mask,
+                label=t(label_flat), attn_mask=t(attn_rows.astype(np.float32)),
+                token_type_ids=t(x["token_type_ids"]),
+                offsets=[x["chunk_lists"]] * N,
+                chunk_attention_mask=t(x["dense"]).expand(N, T, T),
+                gather_index=[t(x["gi_interior"])] * N,
+                gpt_labels=t(expl_rows),
+            )
+
+        # ---- ours, grafted
+        ecfg = EncoderConfig(
+            vocab_size=VOCAB, hidden_size=D, num_hidden_layers=LAYERS,
+            num_attention_heads=HEADS, intermediate_size=2 * D,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            max_position_embeddings=64, img_feature_dim=FDIM,
+        )
+        gcfg = GPT2Config(
+            vocab_size=GVOC, n_positions=64, n_embd=D, n_layer=GLAY,
+            n_head=HEADS, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+            add_cross_attention=True, pad_token_id=PAD,
+        )
+        model = RationaleModel(
+            ecfg, ChunkAlignConfig(), gcfg, num_labels=4, max_chunks=N_CHUNKS,
+        )
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        sub = lambda p: {k[len(p):]: v for k, v in sd.items()
+                         if k.startswith(p)}
+        tr = lambda w: np.ascontiguousarray(w.T)
+
+        def lin(prefix):
+            return {"kernel": tr(sd[prefix + ".weight"]),
+                    "bias": sd[prefix + ".bias"]}
+
+        def cls_layer(i):
+            p = f"cls_layer.{i}."
+            return {
+                "cls_q_proj": lin(p + "cls_q_proj"),
+                "align_k_proj": lin(p + "align_k_proj"),
+                "dense": lin(p + "dense"),
+                "layer_norm": {"scale": sd[p + "LayerNorm.weight"],
+                               "bias": sd[p + "LayerNorm.bias"]},
+                "ffn": {
+                    "intermediate": lin(p + "intermediate.dense"),
+                    "output": lin(p + "output.dense"),
+                    "output_layer_norm": {
+                        "scale": sd[p + "output.LayerNorm.weight"],
+                        "bias": sd[p + "output.LayerNorm.bias"],
+                    },
+                },
+            }
+
+        dec_tree = convert_gpt2(sub("dec."), GLAY)
+        dec_tree["lm_head"] = {"kernel": tr(sd["lm_head.weight"])}
+        params = {"params": {
+            "global_enc": convert_bert_encoder(sub("global_enc."), LAYERS),
+            "seq_enc": {
+                **convert_bert_encoder(sub("seq_enc."), LAYERS),
+                "edge_dense": sd["seq_enc.edge_dense.weight"],
+            },
+            "cls_ensemble": lin("cls_ensemble"),
+            "classifier": lin("classifier"),
+            "dec": dec_tree,
+            **{f"cls_layer_{i}": cls_layer(i) for i in range(3)},
+        }}
+
+        batch = {
+            "input_ids": jnp.asarray(x["input_ids"], jnp.int32),
+            "token_type_ids": jnp.asarray(x["token_type_ids"], jnp.int32),
+            "text_mask": jnp.asarray(x["text_mask"]),
+            "img_feat": jnp.asarray(x["img_feat"]),
+            "img_mask": jnp.asarray(x["img_mask"]),
+            "chunk_mask": jnp.broadcast_to(
+                jnp.asarray(x["dense"])[None], (N, T, T)
+            ),
+            "gather_index": jnp.asarray(
+                np.concatenate(
+                    [np.full((N, 1), -1), np.tile(x["gi_interior"], (N, 1)),
+                     np.full((N, 1), -1)], axis=1,
+                ), jnp.int32,
+            ),
+            "label": jnp.asarray(label_flat.astype(np.float32)),
+            "expl_ids": jnp.asarray(expl_rows[:1], jnp.int32),   # per-question
+            "expl_mask": jnp.asarray(attn_rows[:1]),
+            "gpt_labels": jnp.asarray(expl_rows[:1], jnp.int32),
+        }
+        out = model.apply(params, batch, deterministic=True)
+
+        assert abs(float(out.cls_loss) - float(ref_cls)) < 1e-3
+        assert abs(float(out.gen_loss) - float(ref_gen)) < 1e-3
+        # same 4-way decision per question
+        ours_pre = np.argmax(np.asarray(out.mp_probs), -1)
+        gold = np.argmax(label_flat.reshape(-1, 4), -1)
+        np.testing.assert_array_equal(
+            ours_pre == gold, ref_matched.numpy()
+        )
