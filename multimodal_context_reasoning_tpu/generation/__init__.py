@@ -16,6 +16,14 @@ from multimodal_context_reasoning_tpu.generation.decode import (  # noqa: F401
 from multimodal_context_reasoning_tpu.generation.beam import (  # noqa: F401
     constrained_beam_sample,
 )
+from multimodal_context_reasoning_tpu.generation.box_constraints import (  # noqa: F401
+    ClassHierarchy,
+    ConstraintBoxesReader,
+    ConstraintFilter,
+    boxes_to_constraint_ids,
+    load_wordforms,
+    tokenize_constraints,
+)
 from multimodal_context_reasoning_tpu.generation.constraints import (  # noqa: F401
     extract_constraints,
 )

@@ -670,3 +670,249 @@ class TestRationaleCompositeParity:
         np.testing.assert_array_equal(
             ours_pre == gold, ref_matched.numpy()
         )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end composite parity: the reference's LITERAL Abstract_Specific
+# (modeling_ensemble.py:424-539) run with a torch implementation of the
+# missing prefix-RoBERTa blob (interop/prefix_roberta_torch.py — the same
+# per-layer KV-prepend reconstruction as models/roberta.py), compared to
+# ModCRModel end-to-end: logits, soft-CE loss, abstract loss.  This pins the
+# production wiring previously validated only piecewise: the mapping-network
+# reshape to [B, 5, 1024] (ensemble:473-475,494), the vision‖alignment
+# concat order (:497-498), the prefix masking, the pooler choice (:503), and
+# the scorer (:511,528).
+#
+# Geometry note: Abstract_Specific HARDCODES the mapping networks at
+# Linear(768, 768·5) → Linear(768·5, 1024·5) and the reshape to (B, 5, 1024)
+# (ensemble:439-457,474), so the encoders must be hidden=768 and the
+# reasoner hidden=1024; the flexible dims (intermediate, vocab, roberta
+# depth) are shrunk to keep the CPU run cheap.
+# ---------------------------------------------------------------------------
+
+C_T, C_I, C_D, C_RD, C_FDIM = 24, 8, 768, 1024, 64
+C_VOCAB, C_RVOCAB = 120, 150
+C_LAYERS, C_RLAYERS = 12, 2
+C_N = 8                       # 2 examples × 4 candidates
+C_NCHUNKS = (C_T - 2) // 2
+C_RLEN = 16
+
+
+def _composite_inputs():
+    rng = np.random.default_rng(17)
+    ids = rng.integers(4, C_VOCAB, size=(C_N, C_T)).astype(np.int64)
+    ids[:, 0] = 1
+    tt = np.zeros((C_N, C_T), np.int64)
+    tt[:, C_T // 2:] = 1
+    # the 4 candidate rows of one example share img_feat/img_mask (collate
+    # contract, Data/VCRChunkAlign.py:690-741); padding differs per EXAMPLE
+    img_feat = np.zeros((C_N, C_I, C_FDIM), np.float32)
+    img_mask = np.ones((C_N, C_I), np.float32)
+    for ex, keep in enumerate((C_I, C_I - 3)):
+        feat = rng.normal(size=(C_I, C_FDIM)).astype(np.float32)
+        feat[keep:] = 0.0
+        for row in range(4 * ex, 4 * ex + 4):
+            img_feat[row] = feat
+            img_mask[row, keep:] = 0.0
+    text_mask = np.ones((C_N, C_T), np.float32)
+
+    chunk_lists = [[1 + 2 * c, 2 + 2 * c] for c in range(C_NCHUNKS)]
+    dense = np.eye(C_T, dtype=np.float32)
+    dense[0, :] = 1.0
+    dense[C_T - 1, :] = 1.0
+    for ch in chunk_lists:
+        for a in ch:
+            for b in ch:
+                dense[a, b] = 1.0
+    gi_interior = np.zeros((C_T - 2,), np.int64)
+    for cid, ch in enumerate(chunk_lists):
+        for pos in ch:
+            gi_interior[pos - 1] = cid
+
+    align_pos = np.zeros((C_N, C_T), np.int64)
+    total_label = np.zeros((C_N, C_T), np.int64)
+    align_pos[:, 3] = 1
+    align_pos[:, 7] = 1
+    total_label[:, 3] = 2
+    total_label[:, 7] = 4
+
+    # roberta stream: pad_token_id=1, unequal row lengths
+    r_ids = np.full((C_N, C_RLEN), 1, np.int64)
+    r_mask = np.zeros((C_N, C_RLEN), np.float32)
+    for i in range(C_N):
+        L = C_RLEN - (i % 3)
+        r_ids[i, :L] = rng.integers(4, C_RVOCAB, size=L)
+        r_ids[i, 0] = 0
+        r_mask[i, :L] = 1.0
+    r_tt = np.zeros((C_N, C_RLEN), np.int64)
+
+    # PMR multi-hot float targets (Data/VCRChunkAlign.py:672-681): example 0
+    # has TWO correct candidates, example 1 one
+    label = np.array([1, 0, 1, 0, 0, 1, 0, 0], np.float32)
+    return dict(
+        input_ids=ids, token_type_ids=tt, img_feat=img_feat,
+        img_mask=img_mask, text_mask=text_mask, dense=dense,
+        chunk_lists=chunk_lists, gi_interior=gi_interior,
+        align_pos=align_pos, total_label=total_label,
+        r_ids=r_ids, r_mask=r_mask, r_tt=r_tt, label=label,
+    )
+
+
+@pytest.fixture(scope="module")
+def composite_sides():
+    import os
+    import sys
+
+    if not os.path.isdir("/root/reference/modeling"):
+        pytest.skip("reference repo not mounted")
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    tra, v10, ens = bench._import_reference_modeling()
+    from a_transformers.configuration_bert import BertConfig
+
+    from multimodal_context_reasoning_tpu.core.config import (
+        ChunkAlignConfig,
+        EncoderConfig,
+        ModCRConfig,
+        RobertaConfig,
+    )
+    from multimodal_context_reasoning_tpu.interop.assemble import (
+        assemble_modcr_params,
+    )
+    from multimodal_context_reasoning_tpu.interop.prefix_roberta_torch import (
+        PrefixRobertaTorch,
+        PrefixRobertaTorchConfig,
+    )
+    from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+
+    bcfg = BertConfig(
+        vocab_size=C_VOCAB, hidden_size=C_D, num_hidden_layers=C_LAYERS,
+        num_attention_heads=12, intermediate_size=512,
+        max_position_embeddings=64, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    bcfg.img_feature_dim = C_FDIM
+    bcfg.img_feature_type = "faster_r-cnn"
+    bcfg.output_attentions = True
+    bcfg.output_hidden_states = False
+    bcfg.use_img_layernorm = None
+    bcfg.add_residual = False
+    bcfg.add_local_residual = False
+    bcfg.max_hypo = C_T
+
+    rcfg_t = PrefixRobertaTorchConfig(
+        vocab_size=C_RVOCAB, hidden_size=C_RD, num_hidden_layers=C_RLAYERS,
+        num_attention_heads=16, intermediate_size=512,
+        max_position_embeddings=80, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+
+    torch.manual_seed(71)
+    with torch.no_grad():
+        oscar = tra.BertImgModel(bcfg)
+        seq = v10.SeqBertImgModel(bcfg)
+        calec = v10.ChunkAlign_CLS_enc4_align_ensemble(oscar, seq, 4)
+        roberta = PrefixRobertaTorch(rcfg_t)
+        ref = ens.Abstract_Specific(roberta, calec, None, 4)
+        ref.eval()
+
+    x = _composite_inputs()
+    t = torch.tensor
+    input_mask = t(np.concatenate([x["text_mask"], x["img_mask"]], -1))
+    with torch.no_grad():
+        ref_loss, ref_aux, ref_logits = ref(
+            None, None,                      # image, text: dead CLIP inputs
+            t(x["r_ids"]), t(x["r_tt"]), t(x["r_mask"]),
+            t(x["input_ids"]), t(x["img_feat"]),
+            input_mask=input_mask, token_type_ids=t(x["token_type_ids"]),
+            offsets=[x["chunk_lists"]] * C_N,
+            chunk_attention_mask=t(x["dense"]).expand(C_N, C_T, C_T),
+            gather_index=[t(x["gi_interior"])] * C_N,
+            label=t(x["label"]),
+            align_pos=t(x["align_pos"]), total_label=t(x["total_label"]),
+        )
+
+    ecfg = EncoderConfig(
+        vocab_size=C_VOCAB, hidden_size=C_D, num_hidden_layers=C_LAYERS,
+        num_attention_heads=12, intermediate_size=512,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=64, img_feature_dim=C_FDIM,
+    )
+    rcfg = RobertaConfig(
+        vocab_size=C_RVOCAB, hidden_size=C_RD, num_hidden_layers=C_RLAYERS,
+        num_attention_heads=16, intermediate_size=512,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=80,
+    )
+    cfg = ModCRConfig(
+        global_encoder=ecfg, seq_encoder=ecfg,
+        chunkalign=ChunkAlignConfig(mask_fusion_memory=False), roberta=rcfg,
+        text_len=C_T, img_len=C_I, roberta_len=C_RLEN, max_chunks=C_NCHUNKS,
+    )
+    model = ModCRModel(cfg)
+
+    batch = {
+        "input_ids": jnp.asarray(x["input_ids"], jnp.int32),
+        "token_type_ids": jnp.asarray(x["token_type_ids"], jnp.int32),
+        "text_mask": jnp.asarray(x["text_mask"]),
+        "img_feat": jnp.asarray(x["img_feat"]),
+        "img_mask": jnp.asarray(x["img_mask"]),
+        "chunk_mask": jnp.broadcast_to(
+            jnp.asarray(x["dense"])[None], (C_N, C_T, C_T)
+        ),
+        "gather_index": jnp.asarray(
+            np.concatenate(
+                [np.full((C_N, 1), -1), np.tile(x["gi_interior"], (C_N, 1)),
+                 np.full((C_N, 1), -1)], axis=1,
+            ), jnp.int32,
+        ),
+        "align_pos": jnp.asarray(x["align_pos"]),
+        "total_label": jnp.asarray(x["total_label"]),
+        "r_input_ids": jnp.asarray(x["r_ids"], jnp.int32),
+        "r_attention_mask": jnp.asarray(x["r_mask"]),
+        "r_token_type_ids": jnp.asarray(x["r_tt"], jnp.int32),
+        "label": jnp.asarray(x["label"]),
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    report = assemble_modcr_params(params, cfg, modcr_sd=sd, strict=True)
+    out = model.apply(params, batch, deterministic=True)
+
+    return {
+        "ref_loss": float(ref_loss),
+        "ref_abstract_loss": float(ref_aux[2]),
+        "ref_logits": ref_logits.numpy(),
+        "out": out,
+        "report": report,
+    }
+
+
+class TestCompositeParity:
+    def test_logits_match_reference_composite(self, composite_sides):
+        s = composite_sides
+        np.testing.assert_allclose(
+            np.asarray(s["out"].logits), s["ref_logits"],
+            rtol=2e-3, atol=1e-3,
+        )
+
+    def test_losses_match_reference_composite(self, composite_sides):
+        s = composite_sides
+        assert abs(float(s["out"].loss) - s["ref_loss"]) < 1e-3
+        assert abs(float(s["out"].abstract_loss)
+                   - s["ref_abstract_loss"]) < 1e-3
+
+    def test_full_state_dict_accounted(self, composite_sides):
+        """strict=True already proved no key was silently dropped; check the
+        graft also CONSUMED the whole production surface (everything except
+        the documented dead heads)."""
+        report = composite_sides["report"]
+        assert not report.unconsumed
+        dead_ok = ("calec.classifier.", "calec.fusion_align.", "calec.prior.",
+                   "calec.cls_layer.", "classifier.", "confidence_scorer.",
+                   "promptfuse.", "roberta.embeddings.token_type")
+        for k in report.skipped:
+            assert k.startswith(dead_ok) or ".attention." in k \
+                or ".ensemble." in k or ".dense." in k \
+                or k.endswith("position_ids"), k
