@@ -35,6 +35,52 @@ WARMUP = 2
 ITERS = 20
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 
+# --- weather-proofing (BENCHMARKS.md "One-time costs"): the remote compile
+# service has degraded windows (568 s observed for a forward that compiles
+# in ~65 s warm).  A watchdog guarantees ONE informative JSON line inside
+# the wall-clock budget instead of a silent driver-side timeout, and a
+# canary matmul detects a bad window up front (with one retry) so the
+# result can be flagged "degraded" rather than recorded as a perf loss.
+DEADLINE_S = float(os.environ.get("MODCR_BENCH_DEADLINE", "3000"))
+CANARY_SLOW_S = float(os.environ.get("MODCR_BENCH_CANARY_SLOW", "45"))
+_STAGE = ["startup"]
+
+
+def _install_watchdog():
+    import threading
+
+    def fire():
+        log(f"watchdog: {DEADLINE_S:.0f}s budget exhausted during "
+            f"{_STAGE[0]!r} — emitting degraded result")
+        print(json.dumps({
+            "metric": "pmr_val_inference_examples_per_sec_per_chip",
+            "value": 0.0, "unit": "examples/sec", "vs_baseline": 0.0,
+            "degraded": True, "stage": _STAGE[0],
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(DEADLINE_S, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+def _set_stage(name: str) -> None:
+    _STAGE[0] = name
+    log(f"stage: {name}")
+
+
+def _compile_canary() -> float:
+    """Round-trip a trivial jitted matmul; in a degraded compile-service
+    window this was observed at ~48 s vs <2 s healthy."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda x: x @ x)(jnp.ones((256, 256), jnp.bfloat16)))
+    return time.perf_counter() - t0
+
 
 def log(msg: str) -> None:
     """Stage logging on stderr — stdout must stay one JSON line."""
@@ -45,7 +91,14 @@ def log(msg: str) -> None:
 _T0 = time.perf_counter()
 
 
-def measure_tpu() -> float:
+def measure_tpu() -> tuple:
+    """Returns (examples_per_sec, degraded)."""
+    if os.environ.get("MODCR_BENCH_TEST_SLEEP"):
+        # watchdog self-test hook (tests/test_bench_guard.py): simulate a
+        # wedged compile stage without touching a device
+        _set_stage("test-sleep")
+        time.sleep(float(os.environ["MODCR_BENCH_TEST_SLEEP"]))
+
     import jax
 
     # Persistent compile cache: the full model costs ~90 s of XLA compiles;
@@ -64,6 +117,16 @@ def measure_tpu() -> float:
     from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
 
     log(f"devices: {jax.devices()}")
+    _set_stage("compile-canary")
+    degraded = False
+    canary = _compile_canary()
+    log(f"compile canary: {canary:.1f}s")
+    if canary > CANARY_SLOW_S:
+        log("degraded compile-service window detected; retrying once in 30s")
+        time.sleep(30)
+        canary = _compile_canary()
+        log(f"compile canary (retry): {canary:.1f}s")
+        degraded = canary > CANARY_SLOW_S
     # Mixed precision: fp32 params, bf16 activations/matmuls (flax dtype=).
     # The cast happens inside the jitted graph — no separate dispatches.
     cfg = ModCRConfig().with_dtype("bfloat16")
@@ -77,6 +140,7 @@ def measure_tpu() -> float:
     model = ModCRModel(cfg)
     batch = _synthetic_batch(cfg, n_examples=N_EXAMPLES)
     log("batch built")
+    _set_stage("init-compile")
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     jax.block_until_ready(params)
     log("params initialized")
@@ -93,8 +157,14 @@ def measure_tpu() -> float:
     # but one batch stays in flight so device compute overlaps the tunnel
     # round-trip — exactly how a serving loop runs.  +21% over strictly
     # sequential readbacks (BENCHMARKS.md).
+    _set_stage("forward-compile")
+    t_fc = time.perf_counter()
     np.asarray(fwd(params, batch))
-    log("forward compiled + warm")
+    fc = time.perf_counter() - t_fc
+    log(f"forward compiled + warm ({fc:.1f}s)")
+    if fc > 300:
+        degraded = True       # BENCH_r02 recorded 568 s in a bad window
+    _set_stage("measure")
     for _ in range(WARMUP - 1):
         np.asarray(fwd(params, batch))
 
@@ -106,7 +176,7 @@ def measure_tpu() -> float:
         prev = cur
     np.asarray(prev)
     dt = time.perf_counter() - t0
-    return N_EXAMPLES * ITERS / dt
+    return N_EXAMPLES * ITERS / dt, degraded
 
 
 def _import_reference_modeling():
@@ -389,20 +459,25 @@ def get_baseline() -> float:
 
 
 def main() -> None:
-    value = measure_tpu()
-    log(f"tpu measured: {value:.1f} ex/s")
+    watchdog = _install_watchdog()
+    value, degraded = measure_tpu()
+    log(f"tpu measured: {value:.1f} ex/s" + (" (degraded window)" if degraded else ""))
+    _set_stage("baseline")
     baseline = get_baseline()
     log(f"baseline: {baseline:.3f} ex/s")
-    print(
-        json.dumps(
-            {
-                "metric": "pmr_val_inference_examples_per_sec_per_chip",
-                "value": round(value, 3),
-                "unit": "examples/sec",
-                "vs_baseline": round(value / baseline, 3),
-            }
-        )
-    )
+    watchdog.cancel()
+    result = {
+        "metric": "pmr_val_inference_examples_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "examples/sec",
+        "vs_baseline": round(value / baseline, 3),
+    }
+    if degraded:
+        # throughput itself is measured POST-compile and stays valid; the
+        # flag records that one-time costs hit a degraded compile-service
+        # window (wall-clock numbers from this run are not comparable)
+        result["degraded"] = True
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -87,6 +87,11 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                         "(see BENCHMARKS.md)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the RoBERTa tower (memory for FLOPs)")
+    p.add_argument("--remat_policy", type=str, default="dots",
+                   choices=["full", "dots"],
+                   help="with --remat: 'dots' keeps matmul outputs and "
+                        "recomputes only elementwise work (faster); 'full' "
+                        "recomputes everything (max memory saving)")
     p.add_argument("--quantize", type=str, default="none",
                    choices=["none", "int8"],
                    help="inference-only dynamic W8A8 int8 matmuls in all "
@@ -130,7 +135,10 @@ def configs_from_args(args) -> tuple[ModCRConfig, TrainConfig]:
         cfg = cfg.with_quantize(args.quantize)
     if getattr(args, "remat", False):
         cfg = dataclasses.replace(
-            cfg, roberta=dataclasses.replace(cfg.roberta, remat=True)
+            cfg, roberta=dataclasses.replace(
+                cfg.roberta, remat=True,
+                remat_policy=getattr(args, "remat_policy", "dots"),
+            )
         )
     tcfg = TrainConfig(
         learning_rate=args.learning_rate,

@@ -147,9 +147,26 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
             if jax.process_count() > 1 else None,
         )
         val_dl = (
-            DataLoader(val_ds, args.per_gpu_eval_batch_size)
+            DataLoader(
+                val_ds, args.per_gpu_eval_batch_size,
+                # shard eval too: unsharded, every process would feed the
+                # IDENTICAL full val set through the lifted global batch —
+                # P× redundant compute (accuracy unchanged); example_mask
+                # plus the loader's rank-symmetric batch count handle
+                # uneven tails
+                shard=(jax.process_index(), jax.process_count())
+                if jax.process_count() > 1 else None,
+            )
             if val_ds else None
         )
+        # one-time layout check for the vision-prefix dedup (the model
+        # applies it inside jit and cannot validate the batch layout)
+        from multimodal_context_reasoning_tpu.data.collate import (
+            assert_dedup_invariant,
+        )
+
+        if cfg.dedup_vision_prefix:
+            assert_dedup_invariant(next(iter(train_dl)), cfg.num_labels)
         trainer = Trainer(
             model, tcfg, train_dl, val_dl, mesh=mesh,
             checkpoint_dir=os.path.join(args.output_dir, "ckpt"),
@@ -169,11 +186,21 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
 
     if args.do_test:
         test_ds = make_dataset(args, cfg, args.test_file, feats, tokenizers)
+        # NOTE: --do_test stays unsharded by design — it gathers per-example
+        # logits for the prediction file on the host (write_test_predictions
+        # needs every row locally); multi-host test runs are not a
+        # reference behavior (its test() is single-device).
         test_dl = DataLoader(test_ds, args.per_gpu_eval_batch_size)
         eval_step = make_eval_step(model, mesh=mesh)
 
         # init params, then restore the checkpoint if given
         sample = next(iter(test_dl))
+        if cfg.dedup_vision_prefix:
+            from multimodal_context_reasoning_tpu.data.collate import (
+                assert_dedup_invariant,
+            )
+
+            assert_dedup_invariant(sample, cfg.num_labels)
         import jax.numpy as jnp
 
         params = jax.jit(model.init)(

@@ -135,6 +135,14 @@ class RobertaConfig:
     # jax.checkpoint each layer in the backward pass (trades ~30% more
     # FLOPs for O(1) activation memory across the 24-layer tower).
     remat: bool = False
+    # Rematerialization policy when remat=True:
+    #   "full" — recompute everything (max memory saving);
+    #   "dots" — jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
+    #            keep the projection/FFN matmul OUTPUTS (the expensive
+    #            FLOPs) and recompute only the cheap elementwise/softmax
+    #            work — most of full-remat's memory saving at a fraction
+    #            of its recompute cost (measured in BENCHMARKS.md).
+    remat_policy: str = "full"
 
     @property
     def head_dim(self) -> int:

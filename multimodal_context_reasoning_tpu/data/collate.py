@@ -91,3 +91,33 @@ def collate_candidates(
             out["label"][n] = np.float32(c.target)
 
     return out
+
+
+def assert_dedup_invariant(batch, num_labels: int = 4) -> None:
+    """Validate the layout ``dedup_vision_prefix`` assumes: the K candidate
+    rows of each example are consecutive with identical img_feat/img_mask
+    (the production collate contract, Data/VCRChunkAlign.py:690-741).
+
+    ``ModCRModel`` applies the dedup inside jit and cannot check this;
+    callers that hand-build batches (outside the collate path) should run
+    this once on a representative batch — the CLI and serving entry points
+    do.  Raises ValueError on violation.
+    """
+    feat = np.asarray(batch["img_feat"])
+    mask = np.asarray(batch["img_mask"])
+    n = feat.shape[0]
+    if n % num_labels:
+        raise ValueError(
+            f"batch rows {n} not divisible by num_labels {num_labels}"
+        )
+    per = feat.reshape(n // num_labels, num_labels, *feat.shape[1:])
+    per_m = mask.reshape(n // num_labels, num_labels, *mask.shape[1:])
+    if not (per == per[:, :1]).all() or not (per_m == per_m[:, :1]).all():
+        bad = int(np.argmax(~(per == per[:, :1]).all(
+            axis=tuple(range(1, per.ndim)))))
+        raise ValueError(
+            f"example {bad}: candidate rows carry different img_feat/"
+            f"img_mask — dedup_vision_prefix would compute wrong vision "
+            f"prefixes; rebuild the batch with collate_candidates or set "
+            f"ModCRConfig.dedup_vision_prefix=False"
+        )

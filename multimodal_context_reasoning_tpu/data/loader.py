@@ -72,7 +72,24 @@ class DataLoader:
         return order
 
     def __len__(self) -> int:
+        """Batch count — identical on EVERY shard rank.
+
+        Sharded loaders feed lifted global batches whose jitted step runs
+        collectives; ranks must therefore agree on the number of batches
+        or the psum deadlocks.  ``order[idx::count]`` shards differ by up
+        to one example, so: with ``drop_last`` every rank emits the MIN
+        shard's full-batch count (≤1 batch of data dropped on the longer
+        ranks); without it every rank emits the MAX shard's count, shorter
+        ranks padding fully-masked batches (example_mask=0 rows contribute
+        nothing to the psum'd metrics).
+        """
         n = len(self._order())
+        if self.shard is not None:
+            total, (_, count) = len(self.dataset), self.shard
+            if self.drop_last:
+                return (total // count) // self.batch_size
+            mx = (total + count - 1) // count
+            return (mx + self.batch_size - 1) // self.batch_size
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -83,15 +100,26 @@ class DataLoader:
     def _index_batches(self):
         order = self._order()
         n = len(order)
+        target = len(self)                      # rank-symmetric (see __len__)
+        emitted = 0
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for start in range(0, stop, self.batch_size):
+            if emitted >= target:
+                break                           # longer shard: drop extras
             yield order[start:start + self.batch_size]
+            emitted += 1
+        while emitted < target:                 # shorter shard: empty batches
+            yield order[:0]
+            emitted += 1
 
     def _make_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         real = len(idx)
         if real < self.batch_size:
             # pad the final batch by repeating indices; mark the real rows
-            pad = np.resize(idx, self.batch_size)
+            # (a fully-empty rank-symmetry batch repeats example 0, all
+            # rows masked)
+            pad = (np.resize(idx, self.batch_size) if real
+                   else np.zeros((self.batch_size,), np.int64))
             batch = self.dataset.batch(pad)
             mask = np.zeros((self.batch_size,), np.float32)
             mask[:real] = 1.0

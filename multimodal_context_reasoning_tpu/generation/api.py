@@ -38,8 +38,11 @@ _greedy = jax.jit(
 )
 _sample = jax.jit(
     sample_decode, static_argnums=(0,),
-    static_argnames=("max_len", "eos_id", "pad_id",
-                     "temperature", "top_k", "top_p"),
+    # temperature/top_p are TRACED scalars (they only enter as values;
+    # distinct floats reuse one compiled program); top_k stays static —
+    # it changes the program shape (the kth-logit gather in
+    # top_k_top_p_filter).
+    static_argnames=("max_len", "eos_id", "pad_id", "top_k"),
 )
 _beam = jax.jit(
     constrained_beam_sample, static_argnums=(0,),
@@ -76,9 +79,15 @@ def _cbs_select(beams, logp, num_constraints, min_satisfy, eos_id):
     tokens, _ = select_best_beam_with_constraints(
         beams, logp, num_constraints, min_satisfy, (eos_id,)
     )
-    lengths = jnp.sum(
+    # pad-based length convention shared with decode.py (:85): count up to
+    # AND INCLUDING the first eos (the lattice pads the tail with eos, so
+    # "tokens before first eos, plus the eos itself" equals the other
+    # modes' non-pad count; a beam that never emitted eos keeps max_len)
+    T = tokens.shape[-1]
+    before = jnp.sum(
         jnp.cumprod((tokens != eos_id).astype(jnp.int32), axis=-1), axis=-1
     )
+    lengths = jnp.minimum(before + 1, T)
     return tokens, lengths
 
 

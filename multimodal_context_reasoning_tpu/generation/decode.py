@@ -97,7 +97,10 @@ def top_k_top_p_filter(
     if top_k > 0 and top_k < logits.shape[-1]:
         kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
         logits = jnp.where(logits < kth, neg, logits)
-    if top_p < 1.0:
+    # top_p may be a TRACED scalar (generation/api.py traces it so distinct
+    # floats don't recompile); the masking formula below is the identity at
+    # top_p >= 1.0, so only a static python float takes the skip.
+    if not (isinstance(top_p, (int, float)) and top_p >= 1.0):
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
         cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
         # keep tokens until cumulative prob exceeds top_p (always keep #1)
@@ -142,8 +145,12 @@ def sample_decode(
     )
     last = jnp.take_along_axis(logits, (prompt_len - 1)[:, None, None], axis=1)[:, 0]
 
+    # temperature may be traced (see top_k_top_p_filter note) — jnp.maximum
+    # instead of python max
+    temp = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+
     def pick(rng, lg):
-        lg = lg.astype(jnp.float32) / max(temperature, 1e-6)
+        lg = lg.astype(jnp.float32) / temp
         lg = top_k_top_p_filter(lg, top_k, top_p)
         return jax.random.categorical(rng, lg, axis=-1).astype(jnp.int32)
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from multimodal_context_reasoning_tpu.core.config import RobertaConfig
@@ -107,7 +108,12 @@ class PrefixRoberta(nn.Module):
                     h, bias, prefix_kv=pkv, deterministic=deterministic
                 )[0]
 
-            run_layer = nn.remat(run_layer, prevent_cse=False)
+            policy = None
+            if c.remat_policy == "dots":
+                policy = (
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                )
+            run_layer = nn.remat(run_layer, prevent_cse=False, policy=policy)
             for i in range(c.num_hidden_layers):
                 h = run_layer(
                     TransformerLayer(ec, name=f"layer_{i}"),

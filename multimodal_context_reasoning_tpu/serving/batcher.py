@@ -1,0 +1,104 @@
+"""Cross-request micro-batching for the serving path.
+
+The round-2 server serialized every device call on one global lock, so N
+concurrent clients degraded to single-stream latency.  This dispatcher
+replaces the lock with a batching queue:
+
+- request threads featurize their own examples (pure-numpy host work —
+  embarrassingly parallel) and enqueue (features, Future) pairs;
+- ONE dispatcher thread drains the queue, grouping up to
+  ``scorer.micro_batch`` examples that arrive within ``max_wait_ms`` of the
+  first, runs them as a single device call
+  (:meth:`ModCRScorer.score_featurized`), and scatters results back
+  through the futures.
+
+Under load the deadline never idles: while the device scores batch i the
+queue accumulates batch i+1, so throughput approaches
+``micro_batch × single-stream rate`` while a lone request pays at most
+``max_wait_ms`` extra latency.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Sequence
+
+from multimodal_context_reasoning_tpu.data.schemas import RawExample
+from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
+
+
+class MicroBatcher:
+    def __init__(self, scorer: ModCRScorer, *, max_wait_ms: float = 10.0):
+        self.scorer = scorer
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        # device-call telemetry: one (batch_size,) entry per dispatch
+        self.dispatch_sizes: List[int] = []
+        self._thread = threading.Thread(
+            target=self._loop, name="modcr-microbatcher", daemon=True
+        )
+        self._thread.start()
+
+    # -- client side ------------------------------------------------------
+    def score(self, examples: Sequence[RawExample]) -> List[Dict]:
+        """Thread-safe: featurizes on the CALLING thread, then waits on the
+        dispatcher's result futures."""
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        futures = []
+        for ex in examples:
+            feat = self.scorer.featurize(ex)
+            f: Future = Future()
+            self._q.put((feat, ex.example_id, f))
+            futures.append(f)
+        return [f.result() for f in futures]
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    # -- dispatcher side --------------------------------------------------
+    def _loop(self) -> None:
+        mb = self.scorer.micro_batch
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            items = [item]
+            deadline = time.perf_counter() + self.max_wait
+            while len(items) < mb:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    # deadline passed; still take anything already queued
+                    try:
+                        nxt = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                else:
+                    try:
+                        nxt = self._q.get(timeout=remaining)
+                    except queue.Empty:
+                        break
+                if nxt is None:
+                    self._dispatch(items)
+                    return
+                items.append(nxt)
+            self._dispatch(items)
+
+    def _dispatch(self, items) -> None:
+        self.dispatch_sizes.append(len(items))
+        try:
+            results = self.scorer.score_featurized(
+                [it[0] for it in items], [it[1] for it in items]
+            )
+            for (_, _, fut), res in zip(items, results):
+                fut.set_result(res)
+        except Exception as e:  # pragma: no cover - surfaced to callers
+            for _, _, fut in items:
+                if not fut.done():
+                    fut.set_exception(e)

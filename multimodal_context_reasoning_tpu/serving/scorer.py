@@ -81,6 +81,45 @@ class ModCRScorer:
         imgs = [self._ds.get_image(ex) for ex in examples]
         return collate_candidates(cands, imgs, self._ds.spec)
 
+    def featurize(self, ex: RawExample):
+        """Host-side featurization for one example — safe to run on any
+        request thread (pure numpy; the device is untouched)."""
+        return self._ds.featurize(ex), self._ds.get_image(ex)
+
+    def score_featurized(
+        self, feats: Sequence, example_ids: Sequence[str]
+    ) -> List[Dict]:
+        """One device call over up-to-micro_batch featurized examples
+        (``feats`` = list of :meth:`featurize` outputs; last slot padded by
+        repetition)."""
+        real = len(feats)
+        if real == 0:
+            return []
+        if real > self.micro_batch:
+            raise ValueError(f"{real} examples > micro_batch={self.micro_batch}")
+        feats = list(feats)
+        while len(feats) < self.micro_batch:
+            feats.append(feats[-1])
+        batch = collate_candidates(
+            [f[0] for f in feats], [f[1] for f in feats], self._ds.spec
+        )
+        batch.pop("label", None)
+        logits = np.asarray(
+            self._fwd(self.params, {k: jnp.asarray(v) for k, v in batch.items()}),
+            np.float32,
+        )[:real]
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = probs / probs.sum(-1, keepdims=True)
+        return [
+            {
+                "example_id": eid,
+                "prediction": int(np.argmax(lg)),
+                "logits": [float(x) for x in lg],
+                "probs": [float(x) for x in pr],
+            }
+            for eid, lg, pr in zip(example_ids, logits, probs)
+        ]
+
     def score(self, examples: Sequence[RawExample]) -> List[Dict]:
         """Score any number of examples; internally chunks to the static
         micro-batch (last chunk padded by repetition)."""
@@ -88,24 +127,10 @@ class ModCRScorer:
         mb = self.micro_batch
         for start in range(0, len(examples), mb):
             chunk = list(examples[start:start + mb])
-            real = len(chunk)
-            while len(chunk) < mb:
-                chunk.append(chunk[-1])
-            batch = self._batch(chunk)
-            batch.pop("label", None)
-            logits = np.asarray(
-                self._fwd(self.params, {k: jnp.asarray(v) for k, v in batch.items()}),
-                np.float32,
-            )[:real]
-            probs = np.exp(logits - logits.max(-1, keepdims=True))
-            probs = probs / probs.sum(-1, keepdims=True)
-            for ex, lg, pr in zip(chunk[:real], logits, probs):
-                out.append({
-                    "example_id": ex.example_id,
-                    "prediction": int(np.argmax(lg)),
-                    "logits": [float(x) for x in lg],
-                    "probs": [float(x) for x in pr],
-                })
+            out.extend(self.score_featurized(
+                [self.featurize(ex) for ex in chunk],
+                [ex.example_id for ex in chunk],
+            ))
         return out
 
 

@@ -6,9 +6,12 @@ POST /score  — body: {"examples": [{"example_id", "img_id", "premise",
                "probs"}, ...]}
 GET  /healthz — liveness.
 
-Requests are scored through the AOT-compiled :class:`ModCRScorer`; the
-threading server accepts concurrent connections while device calls
-serialize on a lock (one compiled program, one device stream).
+Requests are scored through the AOT-compiled :class:`ModCRScorer` via a
+cross-request :class:`MicroBatcher` (serving/batcher.py): concurrent
+clients' examples that arrive within ~10 ms are grouped into ONE device
+call up to the compiled micro-batch, so N clients approach
+``micro_batch × single-stream`` throughput instead of serializing on a
+lock (the round-2 design, kept available with ``batching=False``).
 """
 
 from __future__ import annotations
@@ -19,10 +22,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from multimodal_context_reasoning_tpu.data.schemas import RawExample
+from multimodal_context_reasoning_tpu.serving.batcher import MicroBatcher
 from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
 
 
-def _make_handler(scorer: ModCRScorer, lock: threading.Lock):
+def _make_handler(score_fn):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -62,8 +66,7 @@ def _make_handler(scorer: ModCRScorer, lock: threading.Lock):
                     )
                     for i, d in enumerate(raw)
                 ]
-                with lock:
-                    results = scorer.score(examples)
+                results = score_fn(examples)
                 self._reply(200, {"results": results})
             except KeyError as e:
                 self._reply(400, {"error": f"missing field {e}"})
@@ -79,9 +82,22 @@ def serve(
     port: int = 8477,
     *,
     block: bool = True,
+    batching: bool = True,
+    max_wait_ms: float = 10.0,
 ) -> Optional[ThreadingHTTPServer]:
-    lock = threading.Lock()
-    server = ThreadingHTTPServer((host, port), _make_handler(scorer, lock))
+    if batching:
+        batcher = MicroBatcher(scorer, max_wait_ms=max_wait_ms)
+        score_fn = batcher.score
+    else:
+        # legacy serialized path: one lock, full-request device calls
+        lock = threading.Lock()
+
+        def score_fn(examples):
+            with lock:
+                return scorer.score(examples)
+
+    server = ThreadingHTTPServer((host, port), _make_handler(score_fn))
+    server.modcr_batcher = batcher if batching else None
     if block:
         server.serve_forever()
         return None

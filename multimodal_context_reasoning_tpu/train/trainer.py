@@ -72,6 +72,10 @@ class Trainer:
             CheckpointManager(checkpoint_dir) if checkpoint_dir else None
         )
         self.best_acc = 0.0
+        # steps-vs-accuracy curve: one dict per mid-training validation
+        # (the reference records this only in checkpoint FILENAMES,
+        # run_PMR_ModCR.py:236-239)
+        self.history: list = []
 
     def init_state(self, rng: Optional[jax.Array] = None, sample_batch=None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
@@ -174,6 +178,16 @@ class Trainer:
                         "epoch %d step %d: val accuracy %.4f (train %s)",
                         epoch + 1, opt_step, acc, meter,
                     )
+                    last = lambda k: (
+                        float(meter.meters[k].deque[-1])
+                        if meter.meters[k].deque else None
+                    )
+                    self.history.append({
+                        "epoch": epoch + 1, "step": opt_step,
+                        "val_acc": acc,
+                        "train_loss": last("loss"),
+                        "train_acc": last("acc"),
+                    })
                     if acc > self.best_acc:
                         self.best_acc = acc
                         if self.ckpt is not None:

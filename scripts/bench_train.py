@@ -1,0 +1,144 @@
+"""Training-step throughput bench at reference-parity geometry.
+
+Measures the FULL train step (fwd+bwd+clip+AdamW, frozen encoders) on the
+real chip for a set of named configs, alternated back-to-back and repeated
+— the only trustworthy methodology on the tunneled TPU, whose throughput
+drifts ~±5% across time windows (BENCHMARKS.md).  Timing fetches the loss
+to host every step (block_until_ready returns early through the tunnel).
+
+Configs:
+  full    — remat=True, policy "full"  (round-2 default: recompute all)
+  dots    — remat=True, policy "dots"  (keep matmul outputs, recompute
+            elementwise only — jax.checkpoint_policies.dots_with_no_batch_
+            dims_saveable)
+  noremat — remat=False (baseline; OOMs at batch 32 on a 16 GB v5e)
+
+Usage:
+  python scripts/bench_train.py --configs full,dots --batch 32 --task pmr
+  python scripts/bench_train.py --task vcr --configs full,dots  # VCR geom
+
+VCR geometry (BASELINE.json config 4): the reference's run_vcr_ModCR.py
+defaults — grad-accum 4 and the RoBERTa-body freeze (:783-787,605); same
+sequence caps as PMR (max_seq_length 140, 50 regions).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(name: str, task: str, batch: int):
+    import jax
+
+    from __graft_entry__ import _synthetic_batch
+    from multimodal_context_reasoning_tpu.core.config import (
+        ModCRConfig,
+        TrainConfig,
+    )
+    from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+    from multimodal_context_reasoning_tpu.train.optim import make_optimizer
+    from multimodal_context_reasoning_tpu.train.state import TrainState
+    from multimodal_context_reasoning_tpu.train.step import make_train_step
+
+    cfg = ModCRConfig(compute_alignment=False).with_dtype("bfloat16")
+    if name == "noremat":
+        pass
+    elif name in ("full", "dots"):
+        cfg = dataclasses.replace(
+            cfg,
+            roberta=dataclasses.replace(
+                cfg.roberta, remat=True, remat_policy=name
+            ),
+        )
+    else:
+        raise SystemExit(f"unknown config {name}")
+
+    accum = 4 if task == "vcr" else 1      # run_vcr_ModCR.py:605
+    tcfg = TrainConfig(
+        per_device_batch_size=batch,
+        gradient_accumulation_steps=accum,
+        compute_dtype="bfloat16",
+    )
+    model = ModCRModel(cfg)
+    batch_data = _synthetic_batch(cfg, n_examples=batch)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch_data)
+    tx = make_optimizer(
+        tcfg, 1000, params,
+        freeze_roberta_body=(task == "vcr"),   # run_vcr_ModCR.py:783-787
+    )
+    state = TrainState.create(params, tx)
+    step = make_train_step(model)
+    rng = jax.random.PRNGKey(1)
+    return state, step, batch_data, rng
+
+
+def measure(state, step, batch, rng, iters: int):
+    import jax
+
+    state, m = step(state, batch, rng)          # compile + warm
+    float(m["loss"])
+    state, m = step(state, batch, rng)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, rng)
+        float(m["loss"])                         # host readback clock
+    dt = time.perf_counter() - t0
+    return state, dt / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", default="full,dots")
+    p.add_argument("--task", default="pmr", choices=["pmr", "vcr"])
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--repeats", type=int, default=2)
+    args = p.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/modcr_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    names = args.configs.split(",")
+    runs = {}   # name -> (state, step, batch, rng)
+    for n in names:
+        print(f"[bench_train] building {n} (task={args.task} "
+              f"batch={args.batch})", file=sys.stderr, flush=True)
+        runs[n] = build(n, args.task, args.batch)
+
+    results = {n: [] for n in names}
+    for rep in range(args.repeats):
+        for n in names:                          # alternate back-to-back
+            state, step, batch, rng = runs[n]
+            state, per_step = measure(state, step, batch, rng, args.iters)
+            runs[n] = (state, step, batch, rng)
+            exps = args.batch / per_step
+            results[n].append(exps)
+            print(f"[bench_train] rep{rep} {n}: {per_step*1e3:.0f} ms/step "
+                  f"= {exps:.1f} ex/s", file=sys.stderr, flush=True)
+
+    out = {
+        "task": args.task, "batch": args.batch, "iters": args.iters,
+        "examples_per_sec": {
+            n: [round(v, 1) for v in vs] for n, vs in results.items()
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Fine-tune ModCR on REAL PMR data with a self-split held-out set.
+
+The reference's end-to-end claim is its eval loop raising real validation
+accuracy (run_PMR_ModCR.py:230-239, best checkpoint 0.8492).  This script
+demonstrates the same property for the TPU framework on the data that ships
+with the reference: `/root/reference/pmr_data/val-ori.jsonl` (1,538 labeled
+examples) is split 80/20 (seeded shuffle), the full-size composite is
+trained from random init on the train split, and held-out accuracy is
+validated every `--valid_steps` optimizer steps.  The steps-vs-accuracy
+curve lands in `<out>/curve.json` and the summary on stdout.
+
+The repo ships no region-feature pickles (the reference downloads them out
+of band), so image features are synthesized deterministically per img_id —
+the learnable signal is the textual premise/answer stream through the
+frozen-encoder + prefix-RoBERTa path, which is exactly the trainable
+subgraph of the production recipe.  Tokenization uses the hermetic
+HashTokenizers sized to the model vocabs (no hub access in this container).
+
+Run (TPU, ~15 min at defaults):
+
+    python scripts/train_real_pmr.py --steps 600 --batch 32
+
+CPU smoke (tiny model):
+
+    python scripts/train_real_pmr.py --tiny --steps 60 --batch 8 --limit 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synthetic_features(img_ids, dim: int, max_regions: int = 20):
+    """Deterministic per-image region features (no feature pickles in-repo).
+
+    Seeded from the img_id so train/val featurization agrees across runs and
+    processes.
+    """
+    from multimodal_context_reasoning_tpu.data.schemas import ImageFeatures
+
+    import zlib
+
+    out = {}
+    for img_id in img_ids:
+        # zlib.crc32 is process-stable (str hash is PYTHONHASHSEED-random)
+        seed = zlib.crc32(f"pmr-feat:{img_id}".encode()) % (2**31)
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, max_regions + 1))
+        out[str(img_id)] = ImageFeatures(
+            features=rng.standard_normal((n, dim)).astype(np.float32),
+            num_regions=n,
+        )
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--jsonl", default="/root/reference/pmr_data/val-ori.jsonl")
+    p.add_argument("--train_frac", type=float, default=0.8)
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--eval_batch", type=int, default=32)
+    p.add_argument("--lr", type=float, default=3e-5)
+    p.add_argument("--warmup", type=int, default=50)
+    p.add_argument("--valid_steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--limit", type=int, default=0,
+                   help="cap total examples (CPU smoke)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model config (CPU smoke)")
+    p.add_argument("--out", default="/tmp/pmr_real")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from multimodal_context_reasoning_tpu.core.config import (
+        ModCRConfig,
+        TrainConfig,
+    )
+    from multimodal_context_reasoning_tpu.data.collate import BatchSpec
+    from multimodal_context_reasoning_tpu.data.loader import DataLoader
+    from multimodal_context_reasoning_tpu.data.pmr import (
+        PMRDataset,
+        load_pmr_jsonl,
+    )
+    from multimodal_context_reasoning_tpu.data.tokenization import (
+        HashTokenizer,
+        RobertaHashTokenizer,
+    )
+    from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+    from multimodal_context_reasoning_tpu.train.trainer import Trainer
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(message)s",
+        stream=sys.stderr,
+        force=True,   # the axon PJRT plugin pre-configures the root logger
+    )
+    logger = logging.getLogger("pmr-real")
+
+    if args.tiny:
+        cfg = ModCRConfig.tiny()
+        cfg = dataclasses.replace(cfg, compute_alignment=False)
+    else:
+        # Production training geometry (BENCHMARKS.md training table): the
+        # alignment maps are never optimized by the reference trainer
+        # (run_PMR_ModCR.py:204-208) and remat keeps batch 32 inside a
+        # 16 GB v5e.
+        cfg = ModCRConfig(compute_alignment=False).with_dtype("bfloat16")
+        cfg = dataclasses.replace(
+            cfg, roberta=dataclasses.replace(cfg.roberta, remat=True)
+        )
+
+    examples = load_pmr_jsonl(args.jsonl, limit=args.limit or None)
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(len(examples))
+    n_train = int(len(examples) * args.train_frac)
+    train_ex = [examples[i] for i in order[:n_train]]
+    val_ex = [examples[i] for i in order[n_train:]]
+    logger.info("examples: %d train / %d held-out", len(train_ex), len(val_ex))
+
+    feats = synthetic_features(
+        {ex.img_id for ex in examples}, cfg.global_encoder.img_feature_dim,
+        max_regions=min(cfg.img_len, 20),
+    )
+    bert = HashTokenizer(vocab_size=cfg.global_encoder.vocab_size)
+    rob = RobertaHashTokenizer(vocab_size=cfg.roberta.vocab_size)
+    spec = BatchSpec(
+        text_len=cfg.text_len, img_len=cfg.img_len,
+        roberta_len=cfg.roberta_len, num_labels=cfg.num_labels,
+        img_feature_dim=cfg.global_encoder.img_feature_dim,
+    )
+    mk = lambda exs: PMRDataset(exs, feats, bert, rob, spec=spec,
+                                max_chunks=cfg.max_chunks)
+    train_dl = DataLoader(mk(train_ex), args.batch, shuffle=True,
+                          seed=args.seed, drop_last=True)
+    val_dl = DataLoader(mk(val_ex), args.eval_batch)
+
+    tcfg = TrainConfig(
+        learning_rate=args.lr,
+        warmup_steps=args.warmup,
+        max_steps=args.steps,
+        num_train_epochs=10_000,      # bounded by max_steps
+        per_device_batch_size=args.batch,
+        valid_steps=args.valid_steps,
+        epoch_begin=1,
+        seed=args.seed,
+        compute_dtype="float32" if args.tiny else "bfloat16",
+    )
+    model = ModCRModel(cfg)
+    os.makedirs(args.out, exist_ok=True)
+    trainer = Trainer(model, tcfg, train_dl, val_dl, logger=logger)
+
+    t0 = time.time()
+    state = trainer.init_state()
+    logger.info("init done in %.1fs on %s", time.time() - t0,
+                jax.devices()[0].platform)
+
+    base_acc = trainer.evaluate(state.params)
+    logger.info("held-out accuracy at random init: %.4f (chance=0.25)",
+                base_acc)
+    trainer.history.append({"epoch": 0, "step": 0, "val_acc": base_acc,
+                            "train_loss": None, "train_acc": None})
+
+    t0 = time.time()
+    state = trainer.fit(state)
+    wall = time.time() - t0
+    final_acc = trainer.evaluate(state.params)
+
+    curve = {
+        "data": os.path.basename(args.jsonl),
+        "n_train": len(train_ex), "n_val": len(val_ex),
+        "steps": args.steps, "batch": args.batch, "lr": args.lr,
+        "seed": args.seed, "tiny": args.tiny,
+        "wall_seconds": round(wall, 1),
+        "baseline_acc": base_acc,
+        "final_acc": final_acc,
+        "best_acc": trainer.best_acc,
+        "history": trainer.history,
+    }
+    path = os.path.join(args.out, "curve.json")
+    with open(path, "w") as f:
+        json.dump(curve, f, indent=1)
+    logger.info("wrote %s", path)
+    print(json.dumps({
+        "baseline_acc": round(base_acc, 4),
+        "best_acc": round(trainer.best_acc, 4),
+        "final_acc": round(final_acc, 4),
+        "steps": args.steps, "wall_seconds": round(wall, 1),
+    }))
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

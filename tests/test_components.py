@@ -302,3 +302,107 @@ class TestClipEnsembles:
             out = m.apply(params, jnp.asarray(img), jnp.asarray(txt))
             assert out.logits.shape == (3, 4)
             assert np.all(np.isfinite(np.asarray(out.logits)))
+import numpy as np
+
+
+class _DictDs:
+    """Minimal dataset: batch(idx) -> dict of arrays."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def batch(self, idx):
+        idx = np.asarray(idx, np.int64)
+        return {"x": idx.astype(np.float32)[:, None]}
+
+
+class TestShardedLoaderSymmetry:
+    """Rank-symmetric batch counts (data/loader.py __len__): sharded ranks
+    must emit the SAME number of batches or a lifted psum deadlocks."""
+
+    def test_uneven_shards_equal_batch_count_eval(self):
+        from multimodal_context_reasoning_tpu.data.loader import DataLoader
+
+        # 65 examples over 2 ranks -> shards of 33/32; bs=32 would give
+        # 2 vs 1 batches without the symmetry rule
+        ds = _DictDs(65)
+        loaders = [DataLoader(ds, 32, shard=(r, 2), prefetch=False)
+                   for r in range(2)]
+        lens = [len(dl) for dl in loaders]
+        assert lens[0] == lens[1] == 2
+        seen = []
+        masks = []
+        for dl in loaders:
+            batches = list(dl)
+            assert len(batches) == len(dl)
+            for b in batches:
+                seen.extend(b["x"][b["example_mask"] > 0, 0].tolist())
+                masks.append(b["example_mask"].sum())
+        # disjoint full coverage, no duplicates among real rows
+        assert sorted(int(v) for v in seen) == list(range(65))
+
+    def test_uneven_shards_equal_batch_count_train_drop_last(self):
+        from multimodal_context_reasoning_tpu.data.loader import DataLoader
+
+        # 65 over 2 ranks with bs=33: naive per-shard drop_last gives
+        # 1 vs 0 batches; the min-shard rule gives 0 everywhere
+        ds = _DictDs(65)
+        loaders = [DataLoader(ds, 33, shard=(r, 2), drop_last=True,
+                              prefetch=False)
+                   for r in range(2)]
+        assert [len(dl) for dl in loaders] == [0, 0]
+        assert [len(list(dl)) for dl in loaders] == [0, 0]
+
+        # bs=16: floor(32/16)=2 batches per rank, extras on rank 0 dropped
+        loaders = [DataLoader(ds, 16, shard=(r, 2), drop_last=True,
+                              prefetch=False)
+                   for r in range(2)]
+        assert [len(dl) for dl in loaders] == [2, 2]
+        assert [len(list(dl)) for dl in loaders] == [2, 2]
+
+    def test_empty_symmetry_batch_is_fully_masked(self):
+        from multimodal_context_reasoning_tpu.data.loader import DataLoader
+
+        ds = _DictDs(33)           # shards 17/16; bs=16 -> 2 batches, rank1
+        dl = DataLoader(ds, 16, shard=(1, 2), prefetch=False)
+        batches = list(dl)
+        assert len(batches) == 2
+        assert batches[-1]["example_mask"].sum() == 0
+        assert batches[-1]["x"].shape == (16, 1)
+
+
+class TestDedupInvariantGuard:
+    def test_accepts_collate_layout_and_rejects_shuffled(self):
+        from multimodal_context_reasoning_tpu.data.collate import (
+            assert_dedup_invariant,
+        )
+
+        rng = np.random.default_rng(0)
+        K, E, I, F = 4, 3, 5, 7
+        feat_ex = rng.normal(size=(E, 1, I, F))
+        batch = {
+            "img_feat": np.repeat(feat_ex, K, axis=1).reshape(E * K, I, F),
+            "img_mask": np.ones((E * K, I), np.float32),
+        }
+        assert_dedup_invariant(batch, K)        # collate layout: fine
+
+        bad = dict(batch)
+        # roll by one row: each 4-row group now mixes two examples
+        bad["img_feat"] = np.roll(batch["img_feat"], 1, axis=0)
+        try:
+            assert_dedup_invariant(bad, K)
+        except ValueError as e:
+            assert "dedup_vision_prefix" in str(e)
+        else:
+            raise AssertionError("shuffled layout not caught")
+
+        try:
+            assert_dedup_invariant({"img_feat": batch["img_feat"][:-1],
+                                    "img_mask": batch["img_mask"][:-1]}, K)
+        except ValueError as e:
+            assert "divisible" in str(e)
+        else:
+            raise AssertionError("non-divisible batch not caught")

@@ -602,3 +602,44 @@ class TestTopKTopPOracle:
         )
         # at least one token survives every row (min_tokens_to_keep=1)
         assert got_kept.any(axis=-1).all()
+
+
+class TestTracedSamplingKnobs:
+    def test_temperature_top_p_do_not_recompile(self, gpt2_setup):
+        """generate(mode='sample') traces temperature/top_p — distinct
+        float values reuse ONE compiled program (only top_k is static:
+        it changes the kth-logit gather's shape)."""
+        from multimodal_context_reasoning_tpu.generation import api
+
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        plen = jnp.asarray([Lp, Lp - 2], jnp.int32)
+        kw = dict(memory=mem, memory_mask=mmask, max_len=4, eos_id=1,
+                  pad_id=0, mode="sample", top_k=20)
+        t1, _ = api.generate(model, params, prompt, plen,
+                             rng=jax.random.PRNGKey(0),
+                             temperature=0.7, top_p=0.9, **kw)
+        before = api._sample._cache_size()
+        t2, _ = api.generate(model, params, prompt, plen,
+                             rng=jax.random.PRNGKey(0),
+                             temperature=1.3, top_p=0.6, **kw)
+        assert api._sample._cache_size() == before
+        assert t1.shape == t2.shape
+
+    def test_traced_top_p_matches_static_top_p(self, gpt2_setup):
+        """The filter's identity-at-1.0 formulation: a traced top_p value
+        produces the same kept set as the static python-float path."""
+        from multimodal_context_reasoning_tpu.generation.decode import (
+            top_k_top_p_filter,
+        )
+
+        rng = np.random.default_rng(3)
+        logits = jnp.asarray(rng.normal(size=(4, V)), jnp.float32)
+        for p in (0.3, 0.8, 1.0):
+            static = top_k_top_p_filter(logits, 0, p)
+            traced = jax.jit(
+                lambda lg, tp: top_k_top_p_filter(lg, 0, tp)
+            )(logits, jnp.float32(p))
+            np.testing.assert_allclose(
+                np.asarray(static), np.asarray(traced), rtol=1e-6
+            )

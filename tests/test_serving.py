@@ -188,3 +188,73 @@ class TestServeCLI:
         ex = dataclasses.replace(_example(0), img_id="img-1")
         out = sc.score([ex])
         assert len(out) == 1 and np.all(np.isfinite(out[0]["logits"]))
+
+
+class TestMicroBatcher:
+    def test_concurrent_requests_coalesce_and_match_direct(self, scorer):
+        """8 single-example requests from 8 threads: the dispatcher groups
+        them into ≥1 multi-example device calls, and every client gets the
+        same result as a direct scorer.score."""
+        import threading
+
+        from multimodal_context_reasoning_tpu.serving.batcher import (
+            MicroBatcher,
+        )
+
+        batcher = MicroBatcher(scorer, max_wait_ms=200.0)
+        try:
+            examples = [
+                RawExample(f"e{i}", f"img-{i % 4}",
+                           f"premise number {i} .",
+                           [f"answer {i} {j} ." for j in range(4)], None)
+                for i in range(8)
+            ]
+            want = {r["example_id"]: r for r in scorer.score(examples)}
+
+            results = {}
+            errs = []
+            barrier = threading.Barrier(8)
+
+            def client(ex):
+                try:
+                    barrier.wait(timeout=10)
+                    results[ex.example_id] = batcher.score([ex])[0]
+                except Exception as e:       # noqa: BLE001
+                    errs.append(e)
+
+            threads = [threading.Thread(target=client, args=(ex,))
+                       for ex in examples]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=60)
+            assert not errs, errs
+            assert set(results) == set(want)
+            for eid, res in results.items():
+                assert res["prediction"] == want[eid]["prediction"]
+                np.testing.assert_allclose(
+                    res["logits"], want[eid]["logits"], rtol=1e-5, atol=1e-5
+                )
+            # coalescing happened: fewer device calls than clients, and at
+            # least one call carried >1 example (micro_batch=2 here)
+            sizes = batcher.dispatch_sizes
+            assert sum(sizes) == 8
+            assert len(sizes) < 8
+            assert max(sizes) == scorer.micro_batch
+        finally:
+            batcher.close()
+
+    def test_lone_request_pays_at_most_deadline(self, scorer):
+        from multimodal_context_reasoning_tpu.serving.batcher import (
+            MicroBatcher,
+        )
+
+        batcher = MicroBatcher(scorer, max_wait_ms=5.0)
+        try:
+            ex = RawExample("solo", "img-0", "a lone premise .",
+                            [f"choice {j} ." for j in range(4)], None)
+            res = batcher.score([ex])
+            assert res[0]["example_id"] == "solo"
+            assert batcher.dispatch_sizes[-1] == 1
+        finally:
+            batcher.close()
