@@ -100,6 +100,7 @@ class PMRDataset:
         self.spec = spec or BatchSpec()
         self.chunker = chunker or HeuristicChunker()
         self.max_chunks = max_chunks
+        self._feat_cache: Dict[int, List[CandidateFeatures]] = {}
 
     def __len__(self) -> int:
         return len(self.examples)
@@ -178,7 +179,18 @@ class PMRDataset:
         num = key.split("-")[-1]
         return self.image_features[f"img-{num}"]
 
+    def _featurize_cached(self, i: int) -> List[CandidateFeatures]:
+        """Featurization is deterministic (tokenize + chunk + pad, no
+        augmentation), so per-index results are memoized — multi-epoch
+        training re-tokenizes nothing (the reference refeaturizes every
+        epoch inside __getitem__, Data/VCRChunkAlign.py:596-687)."""
+        cached = self._feat_cache.get(i)
+        if cached is None:
+            cached = self.featurize(self.examples[i])
+            self._feat_cache[i] = cached
+        return cached
+
     def batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
-        cands = [self.featurize(self.examples[i]) for i in indices]
+        cands = [self._featurize_cached(int(i)) for i in indices]
         imgs = [self.get_image(self.examples[i]) for i in indices]
         return collate_candidates(cands, imgs, self.spec)

@@ -59,6 +59,17 @@ def build(name: str, task: str, batch: int):
                 cfg.roberta, remat=True, remat_policy=name
             ),
         )
+    elif name == "int8frozen":
+        # lever (a): int8 matmuls in the FROZEN towers' forward only
+        # (stop_gradient means round()'s zero gradient never matters);
+        # the trainable RoBERTa stays bf16, remat "dots"
+        enc = dataclasses.replace(cfg.global_encoder, quantize="int8")
+        cfg = dataclasses.replace(
+            cfg, global_encoder=enc, seq_encoder=enc,
+            roberta=dataclasses.replace(
+                cfg.roberta, remat=True, remat_policy="dots"
+            ),
+        )
     else:
         raise SystemExit(f"unknown config {name}")
 
@@ -114,22 +125,24 @@ def main():
         pass
 
     names = args.configs.split(",")
-    runs = {}   # name -> (state, step, batch, rng)
-    for n in names:
-        print(f"[bench_train] building {n} (task={args.task} "
-              f"batch={args.batch})", file=sys.stderr, flush=True)
-        runs[n] = build(n, args.task, args.batch)
-
     results = {n: [] for n in names}
+    # one config resident at a time (three full optimizer states would
+    # blow the 16 GB v5e); alternation happens at rep granularity, with a
+    # rebuild each rep (compile cache makes rebuilds cheap)
     for rep in range(args.repeats):
-        for n in names:                          # alternate back-to-back
-            state, step, batch, rng = runs[n]
+        for n in names:
+            print(f"[bench_train] rep{rep} building {n} (task={args.task} "
+                  f"batch={args.batch})", file=sys.stderr, flush=True)
+            state, step, batch, rng = build(n, args.task, args.batch)
             state, per_step = measure(state, step, batch, rng, args.iters)
-            runs[n] = (state, step, batch, rng)
             exps = args.batch / per_step
             results[n].append(exps)
             print(f"[bench_train] rep{rep} {n}: {per_step*1e3:.0f} ms/step "
                   f"= {exps:.1f} ex/s", file=sys.stderr, flush=True)
+            del state, step, batch, rng
+            import gc
+
+            gc.collect()
 
     out = {
         "task": args.task, "batch": args.batch, "iters": args.iters,

@@ -65,7 +65,10 @@ def synthetic_features(img_ids, dim: int, max_regions: int = 20):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--jsonl", default="/root/reference/pmr_data/val-ori.jsonl")
+    p.add_argument("--jsonl",
+                   default="/root/reference/pmr_data/val-ori.jsonl",
+                   help="comma-separated labeled jsonl files (val-ori + "
+                        "test-ori are both labeled: 1538 + 1742 examples)")
     p.add_argument("--train_frac", type=float, default=0.8)
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--batch", type=int, default=32)
@@ -78,6 +81,19 @@ def main(argv=None):
                    help="cap total examples (CPU smoke)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (CPU smoke)")
+    p.add_argument("--midsize", action="store_true",
+                   help="CPU-trainable reduced model at text lengths that "
+                        "keep the prompt/answer intact (the tiny config's "
+                        "16/20-token caps truncate the signal away)")
+    p.add_argument("--dropout", type=float, default=0.1,
+                   help="uniform dropout for ALL sites. The reference's "
+                        "0.3-encoder/0.1-reasoner stack (tuned for "
+                        "fine-tuning from pretrained towers) blocks "
+                        "from-scratch learning entirely: at lr 1e-4 a "
+                        "fixed batch will not memorize in 60 steps with "
+                        "the full stack, while each site alone (or 0.1 "
+                        "uniform) reaches 100%% train acc by step 30 "
+                        "(measured on the v5e, see BENCHMARKS.md)")
     p.add_argument("--out", default="/tmp/pmr_real")
     args = p.parse_args(argv)
 
@@ -111,17 +127,55 @@ def main(argv=None):
     if args.tiny:
         cfg = ModCRConfig.tiny()
         cfg = dataclasses.replace(cfg, compute_alignment=False)
+    elif args.midsize:
+        from multimodal_context_reasoning_tpu.core.config import (
+            EncoderConfig,
+            RobertaConfig,
+        )
+
+        d = args.dropout
+        from multimodal_context_reasoning_tpu.core.config import (
+            ChunkAlignConfig,
+        )
+
+        enc = EncoderConfig(
+            vocab_size=4096, hidden_size=96, num_hidden_layers=6,
+            num_attention_heads=8, intermediate_size=192,
+            hidden_dropout_prob=d, attention_probs_dropout_prob=d,
+            img_feature_dim=64)
+        rob = RobertaConfig(
+            vocab_size=4096, hidden_size=128, num_hidden_layers=4,
+            num_attention_heads=8, intermediate_size=256,
+            hidden_dropout_prob=d, attention_probs_dropout_prob=d)
+        cfg = ModCRConfig(
+            global_encoder=enc, seq_encoder=enc, roberta=rob,
+            chunkalign=ChunkAlignConfig(chunk_layers_end=1,
+                                        full_layers_end=3),
+            text_len=48, img_len=10, roberta_len=72, max_chunks=22,
+            mapping_dropout=d, compute_alignment=False)
     else:
         # Production training geometry (BENCHMARKS.md training table): the
         # alignment maps are never optimized by the reference trainer
         # (run_PMR_ModCR.py:204-208) and remat keeps batch 32 inside a
         # 16 GB v5e.
         cfg = ModCRConfig(compute_alignment=False).with_dtype("bfloat16")
+        d = args.dropout
+        enc = dataclasses.replace(
+            cfg.global_encoder,
+            hidden_dropout_prob=d, attention_probs_dropout_prob=d,
+        )
+        rob = dataclasses.replace(
+            cfg.roberta, remat=True,
+            hidden_dropout_prob=d, attention_probs_dropout_prob=d,
+        )
         cfg = dataclasses.replace(
-            cfg, roberta=dataclasses.replace(cfg.roberta, remat=True)
+            cfg, global_encoder=enc, seq_encoder=enc, roberta=rob,
+            mapping_dropout=d,
         )
 
-    examples = load_pmr_jsonl(args.jsonl, limit=args.limit or None)
+    examples = []
+    for path in args.jsonl.split(","):
+        examples.extend(load_pmr_jsonl(path, limit=args.limit or None))
     rng = np.random.default_rng(args.seed)
     order = rng.permutation(len(examples))
     n_train = int(len(examples) * args.train_frac)
@@ -155,7 +209,7 @@ def main(argv=None):
         valid_steps=args.valid_steps,
         epoch_begin=1,
         seed=args.seed,
-        compute_dtype="float32" if args.tiny else "bfloat16",
+        compute_dtype="float32" if (args.tiny or args.midsize) else "bfloat16",
     )
     model = ModCRModel(cfg)
     os.makedirs(args.out, exist_ok=True)
@@ -178,7 +232,7 @@ def main(argv=None):
     final_acc = trainer.evaluate(state.params)
 
     curve = {
-        "data": os.path.basename(args.jsonl),
+        "data": ",".join(os.path.basename(p) for p in args.jsonl.split(",")),
         "n_train": len(train_ex), "n_val": len(val_ex),
         "steps": args.steps, "batch": args.batch, "lr": args.lr,
         "seed": args.seed, "tiny": args.tiny,
