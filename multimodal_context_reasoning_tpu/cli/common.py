@@ -72,6 +72,16 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="stage-1 surgery: drop mapping-network/classifier "
                         "keys of --modcr_ckpt (run_PMR_ModCR.py:819-832)")
     # TPU-native
+    p.add_argument("--num_labels", type=int, default=0,
+                   help="candidate count override (run_PMR_ModCR.py:608; "
+                        "0 = task default: PMR/VCR use 4)")
+    p.add_argument("--img_feature_dim", type=int, default=0,
+                   help="region-feature width override "
+                        "(run_PMR_ModCR.py:588; 0 = default 2054)")
+    p.add_argument("--drop_out", type=float, default=-1.0,
+                   help="encoder-tower dropout override "
+                        "(run_PMR_ModCR.py:585,719,738; <0 = config "
+                        "default 0.3)")
     p.add_argument("--mesh_data", type=int, default=0,
                    help="data-parallel axis size (0 = all devices)")
     p.add_argument("--mesh_model", type=int, default=1)
@@ -124,6 +134,26 @@ def configs_from_args(args) -> tuple[ModCRConfig, TrainConfig]:
             text_len=min(args.max_seq_length, 140),
             img_len=args.max_img_seq_length,
         ).with_dtype(args.compute_dtype)
+    if getattr(args, "num_labels", 0):
+        cfg = dataclasses.replace(cfg, num_labels=args.num_labels)
+    if getattr(args, "img_feature_dim", 0):
+        cfg = dataclasses.replace(
+            cfg,
+            global_encoder=dataclasses.replace(
+                cfg.global_encoder, img_feature_dim=args.img_feature_dim),
+            seq_encoder=dataclasses.replace(
+                cfg.seq_encoder, img_feature_dim=args.img_feature_dim),
+        )
+    if getattr(args, "drop_out", -1.0) >= 0:
+        # the reference applies --drop_out to BOTH Oscar towers' configs
+        # (run_PMR_ModCR.py:719,738); RoBERTa keeps its own 0.1
+        cfg = dataclasses.replace(
+            cfg,
+            global_encoder=dataclasses.replace(
+                cfg.global_encoder, hidden_dropout_prob=args.drop_out),
+            seq_encoder=dataclasses.replace(
+                cfg.seq_encoder, hidden_dropout_prob=args.drop_out),
+        )
     if getattr(args, "skip_alignment_loss", False):
         cfg = dataclasses.replace(cfg, compute_alignment=False)
     if getattr(args, "quantize", "none") != "none":

@@ -212,14 +212,15 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
             from multimodal_context_reasoning_tpu.train.checkpoint import (
                 CheckpointManager,
             )
-            from multimodal_context_reasoning_tpu.train.optim import make_optimizer
-            from multimodal_context_reasoning_tpu.train.state import TrainState
 
-            tx = make_optimizer(tcfg, 1, params)
-            state = CheckpointManager(
+            # params-only, best-metric checkpoint (run_PMR_ModCR.py:236-239
+            # deploys the best-accuracy save); a template restore would
+            # break whenever the eval invocation's optimizer flags differ
+            # from the training run's (scheduler/accum change the
+            # opt_state tree)
+            params = CheckpointManager(
                 os.path.join(args.eval_model_dir, "ckpt")
-            ).restore(TrainState.create(params, tx))
-            params = state.params
+            ).restore_params(best=True)
 
         all_logits = []
         correct = count = 0.0

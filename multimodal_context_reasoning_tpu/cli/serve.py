@@ -78,18 +78,16 @@ def main(argv=None):
     if args.eval_model_dir:
         import os
 
-        from multimodal_context_reasoning_tpu.core.config import TrainConfig
         from multimodal_context_reasoning_tpu.train.checkpoint import (
             CheckpointManager,
         )
-        from multimodal_context_reasoning_tpu.train.optim import make_optimizer
-        from multimodal_context_reasoning_tpu.train.state import TrainState
 
-        tx = make_optimizer(TrainConfig(), 1, params)
-        state = CheckpointManager(
+        # params-only, best-metric checkpoint: serving must not depend on
+        # the training-time optimizer config (scheduler/accum change the
+        # opt_state tree and used to break this restore)
+        params = CheckpointManager(
             os.path.join(args.eval_model_dir, "ckpt")
-        ).restore(TrainState.create(params, tx))
-        params = state.params
+        ).restore_params(best=True)
 
     scorer = ModCRScorer(
         cfg, params, bert, rob, feats, micro_batch=args.micro_batch,

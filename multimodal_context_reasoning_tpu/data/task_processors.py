@@ -64,15 +64,31 @@ class VLProcessor:
         raise NotImplementedError
 
 
+def load_ans2label(path: str) -> dict:
+    """Load a VQA answer→label-id vocabulary (utils/ans2label.json, 3,129
+    entries; the dict `cPickle.load`ed at utils/task_utils.py:109/158/206).
+
+    Accepts the reference's JSON rendering or a pickle (the reference ships
+    both spellings); returns the answer-string → int-label mapping.
+    """
+    if path.endswith((".pkl", ".pickle")):
+        import pickle
+
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    with open(path) as f:
+        return json.load(f)
+
+
 class VQAProcessor(VLProcessor):
     """VQA v2 (utils/task_utils.py:81-177): question + image, multi-answer
     labels with confidence scores from ans2label."""
 
     def get_labels(self, label_file: Optional[str] = None):
+        """Label ids, as the reference returns them
+        (`list(ans2label.values())`, utils/task_utils.py:110)."""
         if label_file:
-            with open(label_file) as f:
-                ans2label = json.load(f)
-            return list(ans2label.keys())
+            return list(load_ans2label(label_file).values())
         return None  # open vocabulary until ans2label is supplied
 
     def _create(self, rows, split):
@@ -92,9 +108,9 @@ class GQAProcessor(VLProcessor):
     """GQA (utils/task_utils.py:178-225): single-answer classification."""
 
     def get_labels(self, label_file: Optional[str] = None):
+        """Label ids (`list(ans2label.values())`, utils/task_utils.py:159)."""
         if label_file:
-            with open(label_file) as f:
-                return list(json.load(f).keys())
+            return list(load_ans2label(label_file).values())
         return None
 
     def _create(self, rows, split):

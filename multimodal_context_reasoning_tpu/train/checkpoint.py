@@ -78,6 +78,32 @@ class CheckpointManager:
             step=restored["step"],
         )
 
+    def restore_params(self, step: Optional[int] = None, *, best: bool = False):
+        """Params-only restore for eval/serving.
+
+        The saved ``opt_state``'s tree structure depends on the
+        training-time optimizer config (scheduler choice, gradient
+        accumulation wrapping); inference callers don't know it and don't
+        need it, so this reads the checkpoint without a template and
+        returns only the param tree. ``best=True`` prefers the
+        best-metric step (the reference deploys its best-accuracy save,
+        run_PMR_ModCR.py:236-239), falling back to latest.
+        """
+        if step is None:
+            step = (self.best_step() if best else None)
+            if step is None:
+                step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        params = self._mgr.restore(step)["params"]
+        # A template-free restore materializes arrays with the SAVE-time
+        # sharding (e.g. a 2-device training mesh); eval/serving may run on
+        # a different mesh. Hand back host arrays so the caller's jit is
+        # free to place them.
+        import numpy as np
+
+        return jax.tree.map(np.asarray, params)
+
     def close(self) -> None:
         self._mgr.close()
 

@@ -65,6 +65,12 @@ def synthetic_features(img_ids, dim: int, max_regions: int = 20):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--task", default="pmr", choices=["pmr", "vcr"],
+                   help="vcr: load line-delimited vcr_val.json through the "
+                        "VCR featurizer (answer-truncation heuristic, "
+                        "run_vcr recipe: RoBERTa-body freeze stays OFF "
+                        "here — random init has no pretrained body to "
+                        "protect)")
     p.add_argument("--jsonl",
                    default="/root/reference/pmr_data/val-ori.jsonl",
                    help="comma-separated labeled jsonl files (val-ori + "
@@ -85,6 +91,12 @@ def main(argv=None):
                    help="CPU-trainable reduced model at text lengths that "
                         "keep the prompt/answer intact (the tiny config's "
                         "16/20-token caps truncate the signal away)")
+    p.add_argument("--roberta_dropout", type=float, default=None,
+                   help="override dropout for the RoBERTa reasoner only "
+                        "(encoders/mapping keep --dropout); the measured "
+                        "middle ground between 0 (fast overfit) and the "
+                        "full stack (no learning at full size)")
+    p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--dropout", type=float, default=0.1,
                    help="uniform dropout for ALL sites. The reference's "
                         "0.3-encoder/0.1-reasoner stack (tuned for "
@@ -108,6 +120,10 @@ def main(argv=None):
     from multimodal_context_reasoning_tpu.data.pmr import (
         PMRDataset,
         load_pmr_jsonl,
+    )
+    from multimodal_context_reasoning_tpu.data.vcr import (
+        VCRDataset,
+        load_vcr_json,
     )
     from multimodal_context_reasoning_tpu.data.tokenization import (
         HashTokenizer,
@@ -164,18 +180,21 @@ def main(argv=None):
             cfg.global_encoder,
             hidden_dropout_prob=d, attention_probs_dropout_prob=d,
         )
+        rd = d if args.roberta_dropout is None else args.roberta_dropout
         rob = dataclasses.replace(
             cfg.roberta, remat=True,
-            hidden_dropout_prob=d, attention_probs_dropout_prob=d,
+            hidden_dropout_prob=rd, attention_probs_dropout_prob=rd,
         )
         cfg = dataclasses.replace(
             cfg, global_encoder=enc, seq_encoder=enc, roberta=rob,
             mapping_dropout=d,
         )
 
+    load_fn = load_vcr_json if args.task == "vcr" else load_pmr_jsonl
+    dataset_cls = VCRDataset if args.task == "vcr" else PMRDataset
     examples = []
     for path in args.jsonl.split(","):
-        examples.extend(load_pmr_jsonl(path, limit=args.limit or None))
+        examples.extend(load_fn(path, limit=args.limit or None))
     rng = np.random.default_rng(args.seed)
     order = rng.permutation(len(examples))
     n_train = int(len(examples) * args.train_frac)
@@ -194,14 +213,15 @@ def main(argv=None):
         roberta_len=cfg.roberta_len, num_labels=cfg.num_labels,
         img_feature_dim=cfg.global_encoder.img_feature_dim,
     )
-    mk = lambda exs: PMRDataset(exs, feats, bert, rob, spec=spec,
-                                max_chunks=cfg.max_chunks)
+    mk = lambda exs: dataset_cls(exs, feats, bert, rob, spec=spec,
+                                 max_chunks=cfg.max_chunks)
     train_dl = DataLoader(mk(train_ex), args.batch, shuffle=True,
                           seed=args.seed, drop_last=True)
     val_dl = DataLoader(mk(val_ex), args.eval_batch)
 
     tcfg = TrainConfig(
         learning_rate=args.lr,
+        weight_decay=args.weight_decay,
         warmup_steps=args.warmup,
         max_steps=args.steps,
         num_train_epochs=10_000,      # bounded by max_steps
@@ -232,6 +252,7 @@ def main(argv=None):
     final_acc = trainer.evaluate(state.params)
 
     curve = {
+        "task": args.task,
         "data": ",".join(os.path.basename(p) for p in args.jsonl.split(",")),
         "n_train": len(train_ex), "n_val": len(val_ex),
         "steps": args.steps, "batch": args.batch, "lr": args.lr,

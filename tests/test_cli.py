@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from multimodal_context_reasoning_tpu.cli.run_pmr import main as pmr_main
+from multimodal_context_reasoning_tpu.data.schemas import RawExample
 
 PMR_VAL = "/root/reference/pmr_data/val-ori.jsonl"
 
@@ -100,6 +101,36 @@ class TestQuantizeFlag:
         assert cfg.roberta.quantize == "int8"
 
 
+class TestConfigOverrideFlags:
+    def test_reference_model_knobs(self):
+        """--num_labels / --img_feature_dim / --drop_out mirror the
+        reference's live config overrides (run_PMR_ModCR.py:585,588,608,
+        710-742: drop_out applies to both Oscar towers, not RoBERTa)."""
+        from multimodal_context_reasoning_tpu.cli.common import (
+            build_arg_parser,
+            configs_from_args,
+        )
+
+        args = build_arg_parser("pmr").parse_args(
+            ["--do_test", "--num_labels", "2", "--img_feature_dim", "1030",
+             "--drop_out", "0.2"]
+        )
+        cfg, _ = configs_from_args(args)
+        assert cfg.num_labels == 2
+        assert cfg.global_encoder.img_feature_dim == 1030
+        assert cfg.seq_encoder.img_feature_dim == 1030
+        assert cfg.global_encoder.hidden_dropout_prob == 0.2
+        assert cfg.seq_encoder.hidden_dropout_prob == 0.2
+        assert cfg.roberta.hidden_dropout_prob == 0.1  # reference: untouched
+
+        # defaults leave the config at reference values
+        args = build_arg_parser("pmr").parse_args(["--do_test"])
+        cfg, _ = configs_from_args(args)
+        assert cfg.num_labels == 4
+        assert cfg.global_encoder.img_feature_dim == 2054
+        assert cfg.global_encoder.hidden_dropout_prob == 0.3
+
+
 class TestRunPMRTrain:
     def test_do_train_end_to_end(self, feature_pickle, tmp_path):
         """CLI --do_train: dataset build, config.json save, Trainer wiring
@@ -146,6 +177,86 @@ class TestRunPMRTrain:
                 "--per_gpu_train_batch_size", "3",
                 "--mesh_data", "2",
             ])
+
+
+class TestTrainToServeLifecycle:
+    def test_trained_checkpoint_flows_into_serving(
+        self, feature_pickle, tmp_path, monkeypatch
+    ):
+        """Full deployment lifecycle: CLI train → best-ckpt on disk →
+        `cli.serve --eval_model_dir` restores it → the live scorer serves
+        the TRAINED weights (not random init) and returns finite scores."""
+        import os
+
+        import jax
+
+        out = tmp_path / "lc_out"
+        pmr_main([
+            "--do_train", "--tiny", "--limit", "6",
+            "--train_file", PMR_VAL, "--val_file", PMR_VAL,
+            "--img_feat_file", feature_pickle,
+            "--output_dir", str(out),
+            "--per_gpu_train_batch_size", "2",
+            "--per_gpu_eval_batch_size", "2",
+            "--mesh_data", "2",
+            "--num_train_epochs", "1",
+            "--valid_steps", "2", "--epoch_begin", "1",
+            "--learning_rate", "1e-3", "--scheduler", "constant",
+        ])
+        assert os.path.isdir(out / "ckpt")
+
+        from multimodal_context_reasoning_tpu.cli import serve as serve_cli
+
+        captured = {}
+        monkeypatch.setattr(
+            "multimodal_context_reasoning_tpu.serving.server.serve",
+            lambda scorer, host, port: captured.update(scorer=scorer),
+        )
+        serve_cli.main([
+            "--img_feat_file", feature_pickle, "--tiny",
+            "--eval_model_dir", str(out), "--micro_batch", "2",
+        ])
+        sc = captured["scorer"]
+
+        # ground truth: the scorer must hold exactly the best-metric
+        # checkpoint's trained weights (params-only restore — the training
+        # run used a non-default scheduler, so a template restore that
+        # rebuilt the optimizer from default flags would fail here)
+        from multimodal_context_reasoning_tpu.train.checkpoint import (
+            CheckpointManager,
+        )
+
+        trained = CheckpointManager(str(out / "ckpt")).restore_params(best=True)
+        got_leaves = jax.tree_util.tree_leaves(sc.params)
+        want_leaves = jax.tree_util.tree_leaves(trained)
+        assert len(got_leaves) == len(want_leaves)
+        for got, want in zip(got_leaves, want_leaves):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        rows = [json.loads(l) for l in open(PMR_VAL)][:2]
+        exs = [
+            RawExample(
+                example_id=str(d["total_id"]), img_id=str(d["img_id"]),
+                premise="they are friends .",
+                answer_choices=["hug .", "fight .", "run .", "sing ."],
+                answer_label=None,
+            )
+            for d in rows
+        ]
+        res = sc.score(exs)
+        assert len(res) == 2
+        assert all(np.all(np.isfinite(r["logits"])) for r in res)
+
+        # the batch-eval entry restores the same way (its optimizer flags
+        # here differ from the training run's — params-only restore)
+        acc = pmr_main([
+            "--do_test", "--tiny", "--limit", "6",
+            "--test_file", PMR_VAL,
+            "--img_feat_file", feature_pickle,
+            "--output_dir", str(out),
+            "--eval_model_dir", str(out),
+        ])
+        assert 0.0 <= acc <= 1.0
 
 
 class TestRunVCRTrain:

@@ -94,6 +94,39 @@ class TestProcessors:
         ex = VQAProcessor().get_train_examples(str(tmp_path))
         assert ex[0].text_a == "what color?" and ex[0].img_key == "7"
 
+    def test_vqa_ans2label_real_vocab(self):
+        """SURVEY row 38: the 3,129-entry VQA answer vocabulary
+        (utils/ans2label.json) loads and get_labels mirrors the reference's
+        `list(ans2label.values())` (utils/task_utils.py:109-110)."""
+        import os
+
+        from multimodal_context_reasoning_tpu.data.task_processors import (
+            load_ans2label,
+        )
+
+        path = "/root/reference/utils/ans2label.json"
+        if not os.path.exists(path):
+            pytest.skip("reference vocab not present")
+        a2l = load_ans2label(path)
+        assert len(a2l) == 3129
+        assert a2l["net"] == 0 and a2l["yes"] == 3
+        # ids are a contiguous 0..N-1 relabeling (classification head size)
+        assert sorted(a2l.values()) == list(range(3129))
+        labels = VQAProcessor().get_labels(path)
+        assert labels == list(a2l.values())
+
+    def test_ans2label_pickle_roundtrip(self, tmp_path):
+        import pickle
+
+        from multimodal_context_reasoning_tpu.data.task_processors import (
+            load_ans2label,
+        )
+
+        d = {"yes": 0, "no": 1}
+        p = tmp_path / "ans2label.pkl"
+        p.write_bytes(pickle.dumps(d))
+        assert load_ans2label(str(p)) == d
+
     def test_nlvr_label_map(self, tmp_path):
         rows = [{"identifier": "a", "sent": "two dogs", "label": "True"}]
         (tmp_path / "val.json").write_text(json.dumps(rows))

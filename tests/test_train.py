@@ -229,3 +229,58 @@ class TestMaskedMultiSteps:
         # trainable tower keeps a real accumulator
         live = jax.tree.leaves(acc["roberta"])
         assert live and hasattr(live[0], "shape")
+
+
+class TestRematEquivalence:
+    def test_remat_policies_do_not_change_loss_or_grads(self):
+        """remat is a scheduling choice, never a numerics choice: loss and
+        gradients must be identical across remat=False / 'full' / 'dots'
+        (models/roberta.py routes nn.remat with an optional
+        dots_with_no_batch_dims_saveable policy)."""
+        import dataclasses
+
+        import jax
+        import numpy as np
+
+        from __graft_entry__ import _synthetic_batch
+        from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+        from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+
+        base = ModCRConfig.tiny()
+        base = dataclasses.replace(base, compute_alignment=False)
+        batch = _synthetic_batch(base, n_examples=2)
+
+        results = {}
+        for name, (remat, policy) in {
+            "none": (False, "full"),
+            "full": (True, "full"),
+            "dots": (True, "dots"),
+        }.items():
+            cfg = dataclasses.replace(
+                base,
+                roberta=dataclasses.replace(
+                    base.roberta, remat=remat, remat_policy=policy
+                ),
+            )
+            model = ModCRModel(cfg)
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+            def loss_fn(p):
+                return model.apply(p, batch, deterministic=True).loss
+
+            loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+            gnorm = jax.jit(
+                lambda g: sum(
+                    jax.numpy.sum(jax.numpy.square(x))
+                    for x in jax.tree_util.tree_leaves(g)
+                )
+            )(grads)
+            results[name] = (float(loss), float(gnorm))
+
+        for name in ("full", "dots"):
+            np.testing.assert_allclose(
+                results[name][0], results["none"][0], rtol=1e-6, err_msg=name
+            )
+            np.testing.assert_allclose(
+                results[name][1], results["none"][1], rtol=1e-5, err_msg=name
+            )
