@@ -18,7 +18,7 @@ The reference layout this package mirrors (capability-wise, not structurally)
 is documented in /root/repo/SURVEY.md.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from multimodal_context_reasoning_tpu.core.config import (  # noqa: F401
     EncoderConfig,

@@ -110,12 +110,22 @@ class ModCRModel(nn.Module):
 
         # --- 1. Vision prefix: CLS token + image only (ensemble:466-475).
         # The K candidate rows of one example share [CLS] + image exactly,
-        # so on the deterministic path the pass runs once per example and
-        # the prefix is repeated — bit-identical, (K-1)/K fewer FLOPs
-        # (core/config.py dedup_vision_prefix).
+        # so whenever the vision pass itself is dropout-free it runs once
+        # per example — same math, (K-1)/K fewer FLOPs (core/config.py
+        # dedup_vision_prefix).  That holds on the deterministic path
+        # always, and on the TRAIN path iff the global encoder's dropout
+        # probs are 0 (flax Dropout(rate=0) is an RNG-free no-op) — the
+        # recipe real from-scratch runs use (BENCHMARKS.md dropout finding).
         K = c.num_labels
+        vision_pass_stochastic = not deterministic and (
+            c.global_encoder.hidden_dropout_prob > 0.0
+            or c.global_encoder.attention_probs_dropout_prob > 0.0
+        )
         dedup = (
-            c.dedup_vision_prefix and deterministic and N % K == 0 and N > K
+            c.dedup_vision_prefix
+            and not vision_pass_stochastic
+            and N % K == 0
+            and N > K
         )
         v_ids = input_ids[::K] if dedup else input_ids
         v_tmask = text_mask[::K] if dedup else text_mask
@@ -127,12 +137,18 @@ class ModCRModel(nn.Module):
             token_type_ids=None, deterministic=deterministic,
         )
         vis_cls = stop(vis_out.sequence[:, 0])
+        if dedup and not deterministic:
+            # train time: repeat BEFORE the mapping network so its dropout
+            # stays independent per candidate row (the reference draws one
+            # mask per row, ensemble:470); deterministic path repeats the
+            # finished prefix instead (fewer mapping FLOPs, same values).
+            vis_cls = jnp.repeat(vis_cls, K, axis=0)
         prefix_vision = MappingNetwork(
             c.global_encoder.hidden_size, c.roberta.hidden_size, c.prefix_len,
             c.mapping_dropout, dtype=c.global_encoder.jnp_dtype,
             name="mapping_network_vision",
         )(vis_cls, deterministic=deterministic)
-        if dedup:
+        if dedup and deterministic:
             prefix_vision = jnp.repeat(prefix_vision, K, axis=0)
 
         # --- 2. Alignment prefix: global + seq encoders + CALeC fusion.

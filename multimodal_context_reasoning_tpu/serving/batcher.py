@@ -64,6 +64,20 @@ class MicroBatcher:
 
     # -- dispatcher side --------------------------------------------------
     def _loop(self) -> None:
+        try:
+            self._run()
+        finally:
+            # a racing score() can enqueue behind the close() sentinel;
+            # fail those futures instead of leaving their callers hung
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    item[2].set_exception(RuntimeError("MicroBatcher closed"))
+
+    def _run(self) -> None:
         mb = self.scorer.micro_batch
         while True:
             item = self._q.get()

@@ -59,6 +59,23 @@ def build(name: str, task: str, batch: int):
                 cfg.roberta, remat=True, remat_policy=name
             ),
         )
+    elif name in ("dedup0", "nodedup0"):
+        # lever (c): TRAIN-time vision-prefix dedup — fires when the global
+        # encoder is dropout-free (models/modcr.py gate), which is the
+        # measured from-scratch recipe (BENCHMARKS.md dropout finding).
+        # The pair differs only in dedup_vision_prefix so the delta is the
+        # lever itself, not the dropout-0 speedup.
+        enc = dataclasses.replace(
+            cfg.global_encoder,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        cfg = dataclasses.replace(
+            cfg, global_encoder=enc, seq_encoder=enc,
+            dedup_vision_prefix=(name == "dedup0"),
+            roberta=dataclasses.replace(
+                cfg.roberta, remat=True, remat_policy="dots"
+            ),
+        )
     elif name == "int8frozen":
         # lever (a): int8 matmuls in the FROZEN towers' forward only
         # (stop_gradient means round()'s zero gradient never matters);

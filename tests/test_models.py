@@ -135,6 +135,67 @@ class TestModCRForward:
             rtol=1e-5, atol=1e-5,
         )
 
+    def test_train_time_dedup_matches_full_pass(self, tiny_setup):
+        """Train-path dedup (vision pass once per example when the global
+        encoder is dropout-free) must reproduce the non-dedup loss AND
+        gradients with the same dropout rng: rate-0 flax Dropout consumes
+        no RNG, the repeat happens BEFORE the mapping network so its
+        per-row dropout masks are drawn identically, and the RoBERTa
+        dropout path is untouched."""
+        import dataclasses
+
+        cfg, model, batch, params = tiny_setup
+        assert cfg.global_encoder.hidden_dropout_prob == 0.0
+        cfg_d = dataclasses.replace(cfg, mapping_dropout=0.2)
+        rng = {"dropout": jax.random.PRNGKey(7)}
+
+        results = {}
+        for name, flag in (("on", True), ("off", False)):
+            m = ModCRModel(dataclasses.replace(cfg_d, dedup_vision_prefix=flag))
+
+            def loss_fn(p):
+                return m.apply(
+                    p, batch, deterministic=False, rngs=rng
+                ).loss
+
+            results[name] = jax.value_and_grad(loss_fn)(params)
+
+        np.testing.assert_allclose(
+            float(results["on"][0]), float(results["off"][0]), rtol=1e-6
+        )
+        flat_on = jax.tree_util.tree_leaves(results["on"][1])
+        flat_off = jax.tree_util.tree_leaves(results["off"][1])
+        for a, b in zip(flat_on, flat_off):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-4, atol=1e-6,
+            )
+
+    def test_train_time_dedup_gated_off_when_encoder_stochastic(
+        self, tiny_setup
+    ):
+        """With encoder dropout > 0 the train-path dedup must NOT fire
+        (candidate rows need independent encoder noise). If the gate were
+        broken, dedup-on would draw differently-shaped dropout masks than
+        dedup-off and the logits would diverge at rate 0.5; equal logits
+        prove both configs ran the identical full-pass program."""
+        import dataclasses
+
+        cfg, model, batch, params = tiny_setup
+        enc = dataclasses.replace(
+            cfg.global_encoder, hidden_dropout_prob=0.5,
+            attention_probs_dropout_prob=0.5,
+        )
+        cfg_s = dataclasses.replace(cfg, global_encoder=enc)
+        rng = {"dropout": jax.random.PRNGKey(3)}
+        outs = {}
+        for name, flag in (("on", True), ("off", False)):
+            m = ModCRModel(dataclasses.replace(cfg_s, dedup_vision_prefix=flag))
+            outs[name] = m.apply(params, batch, deterministic=False, rngs=rng)
+        np.testing.assert_array_equal(
+            np.asarray(outs["on"].logits), np.asarray(outs["off"].logits)
+        )
+
     def test_encoder_gradients_are_zero_when_frozen(self, tiny_setup):
         cfg, model, batch, params = tiny_setup
 

@@ -244,6 +244,47 @@ class TestMicroBatcher:
         finally:
             batcher.close()
 
+    def test_close_fails_straggler_futures_instead_of_hanging(self):
+        """An item that lands in the queue behind the close() sentinel (a
+        score() racing close past the _closed check) must get its future
+        failed by the dispatcher's drain, not leave the client blocked."""
+        import threading
+        from concurrent.futures import Future
+
+        from multimodal_context_reasoning_tpu.serving.batcher import (
+            MicroBatcher,
+        )
+
+        release = threading.Event()
+        entered = threading.Event()
+
+        class StubScorer:
+            micro_batch = 1
+
+            def featurize(self, ex):
+                return {}
+
+            def score_featurized(self, feats, ids):
+                entered.set()
+                release.wait(timeout=10)
+                return [{"example_id": i} for i in ids]
+
+        batcher = MicroBatcher(StubScorer(), max_wait_ms=5.0)
+        first: Future = Future()
+        straggler: Future = Future()
+        # occupy the dispatcher in a device call...
+        batcher._q.put(({}, "first", first))
+        assert entered.wait(timeout=10)
+        # ...so sentinel + straggler are both queued when it returns
+        batcher._q.put(None)
+        batcher._q.put(({}, "straggler", straggler))
+        release.set()
+        batcher._thread.join(timeout=10)
+        assert first.result(timeout=1)["example_id"] == "first"
+        assert straggler.done()
+        with pytest.raises(RuntimeError, match="closed"):
+            straggler.result(timeout=1)
+
     def test_lone_request_pays_at_most_deadline(self, scorer):
         from multimodal_context_reasoning_tpu.serving.batcher import (
             MicroBatcher,
