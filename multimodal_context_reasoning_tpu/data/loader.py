@@ -83,13 +83,13 @@ class DataLoader:
         ranks padding fully-masked batches (example_mask=0 rows contribute
         nothing to the psum'd metrics).
         """
-        n = len(self._order())
         if self.shard is not None:
             total, (_, count) = len(self.dataset), self.shard
             if self.drop_last:
                 return (total // count) // self.batch_size
             mx = (total + count - 1) // count
             return (mx + self.batch_size - 1) // self.batch_size
+        n = len(self.dataset)  # no _order(): shuffling doesn't change counts
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

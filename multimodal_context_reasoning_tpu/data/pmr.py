@@ -21,6 +21,7 @@ Differences by design:
 from __future__ import annotations
 
 import json
+from collections import OrderedDict
 from typing import Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
@@ -92,6 +93,7 @@ class PMRDataset:
         spec: Optional[BatchSpec] = None,
         chunker: Optional[HeuristicChunker] = None,
         max_chunks: int = 40,
+        feat_cache_size: Optional[int] = 65536,
     ):
         self.examples = list(examples)
         self.image_features = image_features
@@ -100,7 +102,12 @@ class PMRDataset:
         self.spec = spec or BatchSpec()
         self.chunker = chunker or HeuristicChunker()
         self.max_chunks = max_chunks
-        self._feat_cache: Dict[int, List[CandidateFeatures]] = {}
+        # LRU-bounded (~16 KB/example → default cap ≈ 1 GB host RAM);
+        # feat_cache_size=None → unbounded, 0 → disabled
+        self.feat_cache_size = feat_cache_size
+        self._feat_cache: "OrderedDict[int, List[CandidateFeatures]]" = (
+            OrderedDict()
+        )
 
     def __len__(self) -> int:
         return len(self.examples)
@@ -183,11 +190,23 @@ class PMRDataset:
         """Featurization is deterministic (tokenize + chunk + pad, no
         augmentation), so per-index results are memoized — multi-epoch
         training re-tokenizes nothing (the reference refeaturizes every
-        epoch inside __getitem__, Data/VCRChunkAlign.py:596-687)."""
+        epoch inside __getitem__, Data/VCRChunkAlign.py:596-687).  The
+        cache is LRU-bounded by ``feat_cache_size`` so reference-scale
+        datasets (~200k VCR train examples) don't pin multi-GB of host
+        RAM for the run's lifetime."""
+        if self.feat_cache_size == 0:
+            return self.featurize(self.examples[i])
         cached = self._feat_cache.get(i)
         if cached is None:
             cached = self.featurize(self.examples[i])
             self._feat_cache[i] = cached
+            if (
+                self.feat_cache_size is not None
+                and len(self._feat_cache) > self.feat_cache_size
+            ):
+                self._feat_cache.popitem(last=False)
+        else:
+            self._feat_cache.move_to_end(i)
         return cached
 
     def batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:

@@ -41,8 +41,9 @@ _sample = jax.jit(
     # temperature/top_p are TRACED scalars (they only enter as values;
     # distinct floats reuse one compiled program); top_k stays static —
     # it changes the program shape (the kth-logit gather in
-    # top_k_top_p_filter).
-    static_argnames=("max_len", "eos_id", "pad_id", "top_k"),
+    # top_k_top_p_filter) — and use_top_p is the static on/off gate so
+    # top_p=1.0 pays no per-step vocab sort (recompile only on toggle).
+    static_argnames=("max_len", "eos_id", "pad_id", "top_k", "use_top_p"),
 )
 _beam = jax.jit(
     constrained_beam_sample, static_argnums=(0,),
@@ -136,7 +137,8 @@ def generate(
             raise ValueError("mode='sample' requires rng")
         return _sample(
             model, params, prompt_ids, prompt_len, rng=rng,
-            temperature=temperature, top_k=top_k, top_p=top_p, **common,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            use_top_p=bool(top_p < 1.0), **common,
         )
     if mode == "beam":
         if rng is None:

@@ -87,20 +87,27 @@ def greedy_decode(
 
 
 def top_k_top_p_filter(
-    logits: jnp.ndarray, top_k: int = 0, top_p: float = 1.0
+    logits: jnp.ndarray, top_k: int = 0, top_p: float = 1.0,
+    use_top_p: Optional[bool] = None,
 ) -> jnp.ndarray:
     """HF ``top_k_top_p_filtering`` semantics (reference
     modeling/modeling_utils.py:1046-1090): keep the top-k logits and/or the
     smallest prefix of the sorted distribution whose cumulative probability
-    exceeds ``top_p``; everything else → -inf.  Static-shape, jit-safe."""
+    exceeds ``top_p``; everything else → -inf.  Static-shape, jit-safe.
+
+    ``top_p`` may be a TRACED scalar (generation/api.py traces it so
+    distinct floats reuse one program); then the branch can't be elided
+    from the value, so callers pass ``use_top_p`` (a STATIC bool derived
+    host-side) to skip the per-step vocab sort + cumsum when top_p >= 1.0
+    — at which the masking formula is the identity up to fp32 cumsum
+    rounding (which could otherwise clip real tail tokens)."""
     neg = jnp.asarray(-1e9, logits.dtype)
     if top_k > 0 and top_k < logits.shape[-1]:
         kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
         logits = jnp.where(logits < kth, neg, logits)
-    # top_p may be a TRACED scalar (generation/api.py traces it so distinct
-    # floats don't recompile); the masking formula below is the identity at
-    # top_p >= 1.0, so only a static python float takes the skip.
-    if not (isinstance(top_p, (int, float)) and top_p >= 1.0):
+    if use_top_p is None:
+        use_top_p = not (isinstance(top_p, (int, float)) and top_p >= 1.0)
+    if use_top_p:
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
         cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
         # keep tokens until cumulative prob exceeds top_p (always keep #1)
@@ -129,10 +136,12 @@ def sample_decode(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    use_top_p: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Ancestral sampling with temperature + top-k/top-p warps — the
     no-beam-search sampling branch of the legacy caption engine
-    (modeling/modeling_utils.py:263-589)."""
+    (modeling/modeling_utils.py:263-589).  ``use_top_p``: static gate for
+    a traced ``top_p`` (see top_k_top_p_filter)."""
     B, Lp = prompt_ids.shape
     L_total = Lp + max_len
     cache = KVCache.zeros(model.config, B, L_total)
@@ -151,7 +160,7 @@ def sample_decode(
 
     def pick(rng, lg):
         lg = lg.astype(jnp.float32) / temp
-        lg = top_k_top_p_filter(lg, top_k, top_p)
+        lg = top_k_top_p_filter(lg, top_k, top_p, use_top_p=use_top_p)
         return jax.random.categorical(rng, lg, axis=-1).astype(jnp.int32)
 
     rng, sub = jax.random.split(rng)

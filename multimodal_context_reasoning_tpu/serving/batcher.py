@@ -20,11 +20,12 @@ queue accumulates batch i+1, so throughput approaches
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Dict, List, Sequence
+from typing import Deque, Dict, List, Sequence
 
 from multimodal_context_reasoning_tpu.data.schemas import RawExample
 from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
@@ -36,8 +37,13 @@ class MicroBatcher:
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
-        # device-call telemetry: one (batch_size,) entry per dispatch
-        self.dispatch_sizes: List[int] = []
+        # pairs the _closed check with the enqueue: a put under this lock
+        # is guaranteed to land BEFORE close()'s sentinel, so every
+        # accepted future is either dispatched or failed by the drain
+        self._close_lock = threading.Lock()
+        # device-call telemetry: one (batch_size,) entry per dispatch,
+        # bounded so a long-lived server doesn't leak
+        self.dispatch_sizes: Deque[int] = collections.deque(maxlen=4096)
         self._thread = threading.Thread(
             target=self._loop, name="modcr-microbatcher", daemon=True
         )
@@ -51,15 +57,19 @@ class MicroBatcher:
             raise RuntimeError("MicroBatcher is closed")
         futures = []
         for ex in examples:
-            feat = self.scorer.featurize(ex)
+            feat = self.scorer.featurize(ex)  # slow host work: outside lock
             f: Future = Future()
-            self._q.put((feat, ex.example_id, f))
+            with self._close_lock:
+                if self._closed:
+                    raise RuntimeError("MicroBatcher is closed")
+                self._q.put((feat, ex.example_id, f))
             futures.append(f)
         return [f.result() for f in futures]
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
+        with self._close_lock:
+            self._closed = True
+            self._q.put(None)
         self._thread.join(timeout=5)
 
     # -- dispatcher side --------------------------------------------------
@@ -67,8 +77,9 @@ class MicroBatcher:
         try:
             self._run()
         finally:
-            # a racing score() can enqueue behind the close() sentinel;
-            # fail those futures instead of leaving their callers hung
+            # belt-and-braces: _close_lock orders every accepted put before
+            # the sentinel, but if anything still lands behind it (or _run
+            # dies early), fail those futures instead of hanging callers
             while True:
                 try:
                     item = self._q.get_nowait()

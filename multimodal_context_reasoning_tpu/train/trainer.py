@@ -150,7 +150,10 @@ class Trainer:
             sums = None
             since_fetch = 0
 
+        capped = False  # max_steps reached: stop BEFORE any further update
         for epoch in range(self.num_epochs):
+            if capped:
+                break
             if hasattr(self.train_loader, "set_epoch"):
                 self.train_loader.set_epoch(epoch)
             for batch in self.train_loader:
@@ -193,7 +196,8 @@ class Trainer:
                         if self.ckpt is not None:
                             self.ckpt.save(state, {"accuracy": acc})
                 if self.cfg.max_steps > 0 and opt_step >= self.cfg.max_steps:
-                    break
+                    capped = True  # also exits the epoch loop — otherwise
+                    break          # the next epoch trains one extra group
             drain_sums()
             self.logger.info("epoch %d done: %s", epoch + 1, meter)
         if self.ckpt is not None:

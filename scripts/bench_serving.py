@@ -28,8 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def hammer(port: int, n_clients: int, n_requests: int):
     """n_requests single-example POSTs spread over n_clients threads.
-    Returns (wall_seconds, sorted latencies)."""
+    Returns (wall_seconds, sorted latencies of COMPLETED requests, errors)."""
     lat = []
+    errors = []
     lock = threading.Lock()
     work = list(range(n_requests))
 
@@ -46,12 +47,17 @@ def hammer(port: int, n_clients: int, n_requests: int):
                                    for j in range(4)],
             }]}).encode()
             t0 = time.perf_counter()
-            req = urllib.request.Request(
-                f"http://127.0.0.1:{port}/score", data=body,
-                headers={"Content-Type": "application/json"})
-            with urllib.request.urlopen(req, timeout=120) as r:
-                assert r.status == 200, r.status
-                json.loads(r.read())
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/score", data=body,
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    assert r.status == 200, r.status
+                    json.loads(r.read())
+            except Exception as e:  # count, don't die: a dead thread would
+                with lock:          # silently inflate the reported rps
+                    errors.append(f"r{i}: {e}")
+                continue
             with lock:
                 lat.append(time.perf_counter() - t0)
 
@@ -62,7 +68,7 @@ def hammer(port: int, n_clients: int, n_requests: int):
         t.start()
     for t in threads:
         t.join()
-    return time.perf_counter() - t0, sorted(lat)
+    return time.perf_counter() - t0, sorted(lat), errors
 
 
 def main():
@@ -138,12 +144,15 @@ def main():
         # warm the path once (first batched call compiles nothing new —
         # scorer is warm — but primes threads)
         hammer(args.port, 1, 2)
-        wall, lat = hammer(args.port, args.clients, args.requests)
+        wall, lat, errors = hammer(args.port, args.clients, args.requests)
         server.shutdown()
         server.server_close()
         time.sleep(0.5)
+        if not lat:
+            raise SystemExit(f"[serve-bench] every request failed: {errors[:3]}")
         stats = {
-            "rps": round(args.requests / wall, 2),
+            "rps": round(len(lat) / wall, 2),  # COMPLETED requests only
+            "errors": len(errors),
             "p50_ms": round(1e3 * lat[len(lat) // 2], 1),
             "p90_ms": round(1e3 * lat[int(len(lat) * 0.9)], 1),
             "wall_s": round(wall, 2),

@@ -406,3 +406,58 @@ class TestDedupInvariantGuard:
             assert "divisible" in str(e)
         else:
             raise AssertionError("non-divisible batch not caught")
+
+
+class TestFeatCacheLRU:
+    def _dataset(self, cache_size):
+        from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+        from multimodal_context_reasoning_tpu.cli.common import batch_spec
+        from multimodal_context_reasoning_tpu.data.pmr import PMRDataset
+        from multimodal_context_reasoning_tpu.data.schemas import (
+            ImageFeatures,
+            RawExample,
+        )
+        from multimodal_context_reasoning_tpu.data.tokenization import (
+            HashTokenizer,
+        )
+
+        cfg = ModCRConfig.tiny()
+        rng = np.random.default_rng(0)
+        examples = [
+            RawExample(f"e{i}", "img-0", f"premise {i} .",
+                       [f"answer {i} {j} ." for j in range(4)], 0)
+            for i in range(6)
+        ]
+        feats = {"img-0": ImageFeatures(
+            features=rng.normal(
+                size=(5, cfg.global_encoder.img_feature_dim)
+            ).astype(np.float32),
+            num_regions=5,
+        )}
+        return PMRDataset(
+            examples, feats,
+            HashTokenizer(vocab_size=cfg.global_encoder.vocab_size),
+            HashTokenizer(vocab_size=cfg.roberta.vocab_size),
+            spec=batch_spec(cfg), max_chunks=cfg.max_chunks,
+            feat_cache_size=cache_size,
+        )
+
+    def test_cache_is_lru_bounded(self):
+        ds = self._dataset(cache_size=3)
+        for i in range(6):
+            ds._featurize_cached(i)
+        assert len(ds._feat_cache) == 3
+        assert set(ds._feat_cache) == {3, 4, 5}
+        # a hit refreshes recency: 3 survives the next insertion, 4 doesn't
+        ds._featurize_cached(3)
+        ds._featurize_cached(0)
+        assert 3 in ds._feat_cache and 4 not in ds._feat_cache
+        # values identical whether cached or refeaturized
+        a = ds._featurize_cached(4)[0]
+        b = ds.featurize(ds.examples[4])[0]
+        np.testing.assert_array_equal(a.input_ids, b.input_ids)
+
+    def test_cache_disabled(self):
+        ds = self._dataset(cache_size=0)
+        ds._featurize_cached(0)
+        assert len(ds._feat_cache) == 0

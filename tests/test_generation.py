@@ -643,3 +643,47 @@ class TestTracedSamplingKnobs:
             np.testing.assert_allclose(
                 np.asarray(static), np.asarray(traced), rtol=1e-6
             )
+
+    def test_top_p_one_compiles_without_vocab_sort(self, gpt2_setup):
+        """The static use_top_p gate: at top_p=1.0 (and top_k=0) the
+        compiled sampling program must contain NO sort over the vocab —
+        tracing top_p (so floats don't recompile) must not force the
+        per-step O(V log V) top-p filter back into the default path."""
+        from multimodal_context_reasoning_tpu.generation import api
+
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        plen = jnp.asarray([Lp, Lp - 2], jnp.int32)
+        kw = dict(memory=mem, memory_mask=mmask, max_len=4, eos_id=1,
+                  pad_id=0, rng=jax.random.PRNGKey(0))
+
+        def hlo(top_p, use_top_p):
+            return api._sample.lower(
+                model, params, prompt, plen, temperature=1.0, top_k=0,
+                top_p=jnp.float32(top_p), use_top_p=use_top_p, **kw,
+            ).as_text()
+
+        # match the op, not the word: gathers carry an "indices_are_sorted"
+        # attribute in every program
+        assert "stablehlo.sort" not in hlo(1.0, False)
+        assert "stablehlo.sort" in hlo(0.9, True)
+
+    def test_generate_top_p_one_matches_unfiltered(self, gpt2_setup):
+        """top_p=1.0 through generate() (filter elided) samples the same
+        tokens as an explicit traced top_p≈1 (filter run): the gate is a
+        pure optimization, not a behavior change."""
+        from multimodal_context_reasoning_tpu.generation import api
+
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        plen = jnp.asarray([Lp, Lp - 2], jnp.int32)
+        kw = dict(memory=mem, memory_mask=mmask, max_len=6, eos_id=1,
+                  pad_id=0, mode="sample", top_k=0, temperature=0.9)
+        t_off, _ = api.generate(model, params, prompt, plen,
+                                rng=jax.random.PRNGKey(5), top_p=1.0, **kw)
+        t_on, _ = api._sample(model, params, prompt, plen,
+                              rng=jax.random.PRNGKey(5), temperature=0.9,
+                              top_k=0, top_p=jnp.float32(1.0), use_top_p=True,
+                              memory=mem, memory_mask=mmask, max_len=6,
+                              eos_id=1, pad_id=0)
+        np.testing.assert_array_equal(np.asarray(t_off), np.asarray(t_on))

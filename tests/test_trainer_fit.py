@@ -122,10 +122,11 @@ class TestTrainerFit:
         )
         trainer = Trainer(ModCRModel(cfg), tcfg, train_loader, None)
         state = trainer.fit()
-        # inner-loop break per epoch (reference semantics,
-        # run_PMR_ModCR.py:218-221): at most one extra micro-batch per
-        # remaining epoch after the cap
-        assert int(state.step) <= tcfg.max_steps + trainer.num_epochs
+        # HARD cap: max_steps=2 is an exact multiple of steps-per-epoch —
+        # the epoch loop must not enter a further epoch and train one more
+        # optimizer step past the cap (at an LR-schedule position beyond
+        # t_total)
+        assert int(state.step) == tcfg.max_steps
 
 
 class TestLoaderAbandonment:
