@@ -1,0 +1,208 @@
+"""Online rationale generation: classify candidates + decode an explanation.
+
+Serves the rationale-generation family (``ChunkAlign_CLS_dec5_4``,
+modeling_vcr_chunkalign_v10.py:1319-1494) the way :class:`ModCRScorer`
+serves the production classifier: fixed-shape programs AOT-warmed once,
+then every request is two device calls —
+
+1. a jitted :class:`RationaleModel` forward over the question's candidate
+   rows → choice probabilities + the gold-candidate decoder memory
+   (``[seq_hypo ‖ global_hypo ‖ chunk_hidden]``, v10.py:1384-1398; at
+   serving time "gold" is the model's own argmax, the ``label is None``
+   branch of models/rationale.py);
+2. one jitted KV-cached decode (generation/api.py) over that memory,
+   prompted with ``<|b_rtnl|>`` and stopped at ``<|e_rtnl|>`` — the
+   marker convention of the reference's explanation streams
+   (Data/VCRChunkAlign.py:356-527).
+
+The reference has no serving story; its generation path exists only as an
+offline eval loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_context_reasoning_tpu.core.config import (
+    ChunkAlignConfig,
+    EncoderConfig,
+    GPT2Config,
+)
+from multimodal_context_reasoning_tpu.data.collate import (
+    BatchSpec,
+    collate_candidates,
+)
+from multimodal_context_reasoning_tpu.data.rationale import B_RTNL, E_RTNL
+from multimodal_context_reasoning_tpu.data.schemas import RawExample
+from multimodal_context_reasoning_tpu.data.vcr import VCRDataset
+from multimodal_context_reasoning_tpu.generation.api import generate
+from multimodal_context_reasoning_tpu.models.gpt2 import GPT2Decoder
+from multimodal_context_reasoning_tpu.models.rationale import RationaleModel
+from multimodal_context_reasoning_tpu.ops.chunk import (
+    chunk_mask_from_gather_index,
+)
+from multimodal_context_reasoning_tpu.serving.scorer import iter_keys
+
+
+def decode_ids(tokenizer, ids: Sequence[int]) -> Optional[str]:
+    """Best-effort id→text: HFTokenizer adapters expose the underlying HF
+    tokenizer's ``decode``; hash tokenizers are one-way (ids only)."""
+    hf = getattr(tokenizer, "_tok", None)
+    if hf is not None and hasattr(hf, "decode"):
+        return hf.decode(list(ids), skip_special_tokens=False)
+    return None
+
+
+class RationaleGenerator:
+    def __init__(
+        self,
+        encoder_config: EncoderConfig,
+        schedule: ChunkAlignConfig,
+        gpt2_config: GPT2Config,
+        params,
+        bert_tokenizer,
+        gpt_tokenizer,
+        image_features,                  # mapping img_id -> ImageFeatures
+        *,
+        spec: Optional[BatchSpec] = None,
+        num_labels: int = 4,
+        cls_layer_num: int = 3,
+        max_chunks: int = 40,
+        micro_batch: int = 1,            # questions per device call
+        max_rationale_len: int = 32,
+        mode: str = "greedy",            # greedy | sample
+        warm: bool = True,
+    ):
+        if "dec" not in params.get("params", {}):
+            raise ValueError(
+                "params have no 'dec' decoder subtree — initialize/train "
+                "the RationaleModel with expl_ids in the batch so the "
+                "GPT-2 decoder branch is traced (trained checkpoints "
+                "always carry it)"
+            )
+        self.params = params
+        self.features = image_features
+        self.micro_batch = micro_batch
+        self.max_rationale_len = max_rationale_len
+        self.mode = mode
+        self.num_labels = num_labels
+        self.gpt_tokenizer = gpt_tokenizer
+        self._gpt2_cfg = gpt2_config
+        b_id, e_id = gpt_tokenizer.convert_tokens_to_ids([B_RTNL, E_RTNL])
+        self._b_rtnl, self._e_rtnl = int(b_id), int(e_id)
+
+        self.spec = spec or BatchSpec(num_labels=num_labels)
+        # the rationale family is VCR-native (v10.py); the VCR featurizer
+        # carries its answer-truncation heuristic
+        self._ds = VCRDataset(
+            [], image_features, bert_tokenizer, gpt_tokenizer,
+            spec=self.spec, max_chunks=max_chunks,
+        )
+        model = RationaleModel(
+            encoder_config, schedule, gpt2_config,
+            num_labels=num_labels, cls_layer_num=cls_layer_num,
+            max_chunks=max_chunks,
+        )
+        # decoder submodule + its param subtree, for the generation engine
+        self._dec = GPT2Decoder(
+            dataclasses.replace(gpt2_config, tie_word_embeddings=False)
+        )
+
+        def fwd(p, b):
+            b = dict(b)
+            b["chunk_mask"] = chunk_mask_from_gather_index(
+                b["gather_index"], b["text_mask"]
+            )
+            out = model.apply(p, b, deterministic=True)
+            return (
+                out.mp_probs,
+                out.decoder_memory.astype(jnp.float32),
+                out.decoder_memory_mask,
+            )
+
+        self._fwd = jax.jit(fwd)
+        if warm:
+            self._warmup()
+
+    @property
+    def _dec_params(self):
+        return {"params": self.params["params"]["dec"]}
+
+    def _warmup(self) -> None:
+        ex = RawExample(
+            example_id="warm", img_id=next(iter_keys(self.features)),
+            premise="warm up .",
+            answer_choices=["a ."] * self.num_labels, answer_label=0,
+        )
+        self.generate([ex])
+
+    def generate(
+        self, examples: Sequence[RawExample], *, rng: Optional[jax.Array] = None
+    ) -> List[Dict]:
+        """Classify + decode any number of questions; internally chunks to
+        the static micro-batch (last chunk padded by repetition)."""
+        out: List[Dict] = []
+        mb = self.micro_batch
+        for start in range(0, len(examples), mb):
+            out.extend(self._generate_chunk(
+                list(examples[start:start + mb]), rng=rng,
+            ))
+        return out
+
+    def _generate_chunk(
+        self, examples: Sequence[RawExample], *, rng: Optional[jax.Array]
+    ) -> List[Dict]:
+        real = len(examples)
+        if real == 0:
+            return []
+        if real > self.micro_batch:
+            raise ValueError(
+                f"{real} examples > micro_batch={self.micro_batch}"
+            )
+        padded = list(examples) + [examples[-1]] * (self.micro_batch - real)
+        batch = collate_candidates(
+            [self._ds.featurize(ex) for ex in padded],
+            [self._ds.get_image(ex) for ex in padded],
+            self.spec,
+        )
+        batch.pop("label", None)  # serving: gold row = model argmax
+        probs, memory, memory_mask = self._fwd(
+            self.params, {k: jnp.asarray(v) for k, v in batch.items()}
+        )
+
+        Q = self.micro_batch
+        prompt = jnp.full((Q, 1), self._b_rtnl, jnp.int32)
+        prompt_len = jnp.ones((Q,), jnp.int32)
+        tokens, lengths = generate(
+            self._dec, self._dec_params, prompt, prompt_len,
+            mode=self.mode, memory=memory, memory_mask=memory_mask,
+            max_len=self.max_rationale_len, eos_id=self._e_rtnl,
+            pad_id=self._gpt2_cfg.pad_token_id,
+            rng=(rng if rng is not None else jax.random.PRNGKey(0))
+            if self.mode != "greedy" else None,
+        )
+
+        probs = np.asarray(probs, np.float32)[:real]
+        tokens = np.asarray(tokens)[:real]
+        lengths = np.asarray(lengths)[:real]
+        results = []
+        for ex, pr, tok, ln in zip(examples, probs, tokens, lengths):
+            ids = [int(t) for t in tok[: int(ln)]]
+            res = {
+                "example_id": ex.example_id,
+                "prediction": int(np.argmax(pr)),
+                # per-candidate P(true) (binary_to_mp, v10.py:363-373) —
+                # independent binary heads, not a 4-way softmax
+                "probs": [float(x) for x in pr],
+                "rationale_ids": ids,
+            }
+            text = decode_ids(self.gpt_tokenizer, ids)
+            if text is not None:
+                res["rationale_text"] = text
+            results.append(res)
+        return results

@@ -1,10 +1,14 @@
 """Minimal HTTP scoring server (stdlib-only).
 
-POST /score  — body: {"examples": [{"example_id", "img_id", "premise",
-               "answer_choices": [4 strings]}, ...]}
-               → {"results": [{"example_id", "prediction", "logits",
-               "probs"}, ...]}
-GET  /healthz — liveness.
+POST /score    — body: {"examples": [{"example_id", "img_id", "premise",
+                 "answer_choices": [4 strings]}, ...]}
+                 → {"results": [{"example_id", "prediction", "logits",
+                 "probs"}, ...]}
+POST /generate — same body, served by a :class:`RationaleGenerator`
+                 (pass ``generator=`` to :func:`serve`) → results carry
+                 "prediction"/"probs" plus "rationale_ids" (and
+                 "rationale_text" when the GPT tokenizer can decode).
+GET  /healthz  — liveness.
 
 Requests are scored through the AOT-compiled :class:`ModCRScorer` via a
 cross-request :class:`MicroBatcher` (serving/batcher.py): concurrent
@@ -26,7 +30,7 @@ from multimodal_context_reasoning_tpu.serving.batcher import MicroBatcher
 from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
 
 
-def _make_handler(score_fn):
+def _make_handler(score_fn, generate_fn=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -46,7 +50,16 @@ def _make_handler(score_fn):
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/score":
+            if self.path == "/score":
+                handler = score_fn
+            elif self.path == "/generate":
+                if generate_fn is None:
+                    self._reply(
+                        404, {"error": "no generator configured"}
+                    )
+                    return
+                handler = generate_fn
+            else:
                 self._reply(404, {"error": "not found"})
                 return
             try:
@@ -66,7 +79,7 @@ def _make_handler(score_fn):
                     )
                     for i, d in enumerate(raw)
                 ]
-                results = score_fn(examples)
+                results = handler(examples)
                 self._reply(200, {"results": results})
             except KeyError as e:
                 self._reply(400, {"error": f"missing field {e}"})
@@ -84,6 +97,7 @@ def serve(
     block: bool = True,
     batching: bool = True,
     max_wait_ms: float = 10.0,
+    generator=None,                 # optional serving.generator.RationaleGenerator
 ) -> Optional[ThreadingHTTPServer]:
     if batching:
         batcher = MicroBatcher(scorer, max_wait_ms=max_wait_ms)
@@ -96,7 +110,20 @@ def serve(
             with lock:
                 return scorer.score(examples)
 
-    server = ThreadingHTTPServer((host, port), _make_handler(score_fn))
+    generate_fn = None
+    if generator is not None:
+        # generation requests serialize on one lock (two chained device
+        # programs per call; cross-request batching is a /score-only
+        # optimization for now)
+        gen_lock = threading.Lock()
+
+        def generate_fn(examples):
+            with gen_lock:
+                return generator.generate(examples)
+
+    server = ThreadingHTTPServer(
+        (host, port), _make_handler(score_fn, generate_fn)
+    )
     server.modcr_batcher = batcher if batching else None
     if block:
         server.serve_forever()

@@ -299,3 +299,125 @@ class TestMicroBatcher:
             assert batcher.dispatch_sizes[-1] == 1
         finally:
             batcher.close()
+
+
+@pytest.fixture(scope="module")
+def generator():
+    from multimodal_context_reasoning_tpu.core.config import (
+        ChunkAlignConfig,
+        EncoderConfig,
+        GPT2Config,
+    )
+    from multimodal_context_reasoning_tpu.data.collate import BatchSpec
+    from multimodal_context_reasoning_tpu.models.rationale import RationaleModel
+    from multimodal_context_reasoning_tpu.serving.generator import (
+        RationaleGenerator,
+    )
+
+    enc = EncoderConfig(
+        vocab_size=256, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=128, img_feature_dim=20,
+    )
+    sched = ChunkAlignConfig(chunk_layers_end=1, full_layers_end=2)
+    gpt = GPT2Config(
+        vocab_size=128, n_positions=128, n_embd=32, n_layer=2, n_head=4,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0, pad_token_id=0,
+    )
+    spec = BatchSpec(text_len=16, img_len=6, roberta_len=16,
+                     img_feature_dim=20)
+    rng = np.random.default_rng(0)
+    feats = {
+        f"img-{i}": ImageFeatures(
+            features=rng.normal(size=(5, 20)).astype(np.float32),
+            num_regions=5,
+        )
+        for i in range(4)
+    }
+    bert = HashTokenizer(vocab_size=256)
+    gpt_tok = HashTokenizer(vocab_size=128)
+
+    # random-init rationale params through one representative batch
+    import jax.numpy as jnp
+
+    model = RationaleModel(enc, sched, gpt, max_chunks=8)
+    B, T, I = 4, spec.text_len, spec.img_len
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(4, 256, size=(B, T)), jnp.int32),
+        "text_mask": jnp.ones((B, T)),
+        "img_feat": jnp.asarray(rng.normal(size=(B, I, 20)), jnp.float32),
+        "img_mask": jnp.ones((B, I)),
+        "chunk_mask": jnp.ones((B, T, T)),
+        "gather_index": jnp.full((B, T), -1, jnp.int32),
+        # the decoder branch must trace at init or the param tree has no
+        # "dec" subtree (trained checkpoints always do)
+        "expl_ids": jnp.asarray(rng.integers(2, 128, size=(1, 6)), jnp.int32),
+        "expl_mask": jnp.ones((1, 6)),
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    return RationaleGenerator(
+        enc, sched, gpt, params, bert, gpt_tok, feats,
+        spec=spec, max_chunks=8, micro_batch=2, max_rationale_len=8,
+    )
+
+
+class TestRationaleGenerator:
+    def test_generate_shapes_and_determinism(self, generator):
+        exs = [
+            RawExample(f"q{i}", f"img-{i}", "two people talk .",
+                       ["hug .", "fight .", "leave .", "sing ."], None)
+            for i in range(3)  # 3 questions over micro_batch=2: chunk+pad
+        ]
+        r1 = generator.generate(exs)
+        r2 = generator.generate(exs)
+        assert [r["example_id"] for r in r1] == ["q0", "q1", "q2"]
+        for a, b in zip(r1, r2):
+            assert a == b                      # greedy: fully deterministic
+            assert 0 <= a["prediction"] < 4
+            # probs are per-candidate P(true) (binary_to_mp, v10.py:363-373),
+            # NOT a 4-way softmax — each in [0,1], argmax = prediction
+            assert len(a["probs"]) == 4
+            assert all(0.0 <= p <= 1.0 for p in a["probs"])
+            assert a["prediction"] == int(np.argmax(a["probs"]))
+            assert len(a["rationale_ids"]) <= 8
+            # ids stay inside the decoder vocab (NaN-embedding trap guard)
+            assert all(0 <= t < 128 for t in a["rationale_ids"])
+
+    def test_http_generate_route(self, scorer, generator):
+        server = serve(scorer, port=0, block=False, generator=generator)
+        port = server.server_address[1]
+        try:
+            body = json.dumps({
+                "examples": [{
+                    "example_id": "g1", "img_id": "img-2",
+                    "premise": "a person runs .",
+                    "answer_choices": ["a .", "b .", "c .", "d ."],
+                }]
+            }).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req) as r:
+                out = json.load(r)
+            res = out["results"][0]
+            assert res["example_id"] == "g1"
+            assert "rationale_ids" in res and 0 <= res["prediction"] < 4
+        finally:
+            server.shutdown()
+
+    def test_http_generate_404_without_generator(self, scorer):
+        server = serve(scorer, port=0, block=False)
+        port = server.server_address[1]
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=b"{}", method="POST"
+            )
+            try:
+                urllib.request.urlopen(req)
+                assert False, "expected 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            server.shutdown()
