@@ -41,6 +41,7 @@ from multimodal_context_reasoning_tpu.data.rationale import B_RTNL, E_RTNL
 from multimodal_context_reasoning_tpu.data.schemas import RawExample
 from multimodal_context_reasoning_tpu.data.vcr import VCRDataset
 from multimodal_context_reasoning_tpu.generation.api import generate
+from multimodal_context_reasoning_tpu.generation.decode import greedy_decode
 from multimodal_context_reasoning_tpu.models.gpt2 import GPT2Decoder
 from multimodal_context_reasoning_tpu.models.rationale import RationaleModel
 from multimodal_context_reasoning_tpu.ops.chunk import (
@@ -126,6 +127,21 @@ class RationaleGenerator:
             )
 
         self._fwd = jax.jit(fwd)
+
+        # greedy path: classify + decode traced into ONE program — on a
+        # high-latency link this halves the per-request round-trips (the
+        # two-program path pays a readback between classify and decode)
+        def fused_greedy(p, b, prompt, prompt_len):
+            probs, mem, mmask = fwd(p, b)
+            tokens, lengths = greedy_decode(
+                self._dec, {"params": p["params"]["dec"]},
+                prompt, prompt_len, memory=mem, memory_mask=mmask,
+                max_len=self.max_rationale_len, eos_id=self._e_rtnl,
+                pad_id=gpt2_config.pad_token_id,
+            )
+            return probs, tokens, lengths
+
+        self._fused_greedy = jax.jit(fused_greedy)
         if warm:
             self._warmup()
 
@@ -148,9 +164,11 @@ class RationaleGenerator:
         the static micro-batch (last chunk padded by repetition)."""
         out: List[Dict] = []
         mb = self.micro_batch
-        for start in range(0, len(examples), mb):
+        for ci, start in enumerate(range(0, len(examples), mb)):
             out.extend(self._generate_chunk(
-                list(examples[start:start + mb]), rng=rng,
+                list(examples[start:start + mb]),
+                # sampling: decorrelate chunks within one request
+                rng=(jax.random.fold_in(rng, ci) if rng is not None else None),
             ))
         return out
 
@@ -171,21 +189,24 @@ class RationaleGenerator:
             self.spec,
         )
         batch.pop("label", None)  # serving: gold row = model argmax
-        probs, memory, memory_mask = self._fwd(
-            self.params, {k: jnp.asarray(v) for k, v in batch.items()}
-        )
-
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         Q = self.micro_batch
         prompt = jnp.full((Q, 1), self._b_rtnl, jnp.int32)
         prompt_len = jnp.ones((Q,), jnp.int32)
-        tokens, lengths = generate(
-            self._dec, self._dec_params, prompt, prompt_len,
-            mode=self.mode, memory=memory, memory_mask=memory_mask,
-            max_len=self.max_rationale_len, eos_id=self._e_rtnl,
-            pad_id=self._gpt2_cfg.pad_token_id,
-            rng=(rng if rng is not None else jax.random.PRNGKey(0))
-            if self.mode != "greedy" else None,
-        )
+        if self.mode == "greedy":
+            # one fused program: no readback between classify and decode
+            probs, tokens, lengths = self._fused_greedy(
+                self.params, device_batch, prompt, prompt_len
+            )
+        else:
+            probs, memory, memory_mask = self._fwd(self.params, device_batch)
+            tokens, lengths = generate(
+                self._dec, self._dec_params, prompt, prompt_len,
+                mode=self.mode, memory=memory, memory_mask=memory_mask,
+                max_len=self.max_rationale_len, eos_id=self._e_rtnl,
+                pad_id=self._gpt2_cfg.pad_token_id,
+                rng=rng if rng is not None else jax.random.PRNGKey(0),
+            )
 
         probs = np.asarray(probs, np.float32)[:real]
         tokens = np.asarray(tokens)[:real]

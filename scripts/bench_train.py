@@ -109,17 +109,34 @@ def build(name: str, task: str, batch: int):
     return state, step, batch_data, rng
 
 
-def measure(state, step, batch, rng, iters: int):
-    import jax
+def measure(state, step, batch, rng, iters: int, pipelined: bool = False):
+    """Per-step time with host readback each iteration.
 
+    pipelined=False fetches THIS step's loss before launching the next —
+    one tunnel round-trip serialized into every step.  pipelined=True
+    fetches the PREVIOUS step's loss while the current one computes (one
+    step in flight, same trick as bench.py's inference headline) and
+    drains the last fetch inside the timed window — this matches the
+    production Trainer, which accumulates metrics device-side and drains
+    them only at eval boundaries (train/trainer.py drain_sums), so no
+    readback ever serializes its step loop."""
     state, m = step(state, batch, rng)          # compile + warm
     float(m["loss"])
     state, m = step(state, batch, rng)
     float(m["loss"])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch, rng)
-        float(m["loss"])                         # host readback clock
+    if pipelined:
+        prev = None
+        for _ in range(iters):
+            state, m = step(state, batch, rng)
+            if prev is not None:
+                float(prev["loss"])              # overlaps current step
+            prev = m
+        float(prev["loss"])                      # drain inside the window
+    else:
+        for _ in range(iters):
+            state, m = step(state, batch, rng)
+            float(m["loss"])                     # host readback clock
     dt = time.perf_counter() - t0
     return state, dt / iters
 
@@ -131,6 +148,10 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=12)
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--pipelined", action="store_true",
+                   help="fetch metrics one step behind (matches the "
+                        "production Trainer's device-side metric "
+                        "accumulation — see measure())")
     args = p.parse_args()
 
     import jax
@@ -151,7 +172,10 @@ def main():
             print(f"[bench_train] rep{rep} building {n} (task={args.task} "
                   f"batch={args.batch})", file=sys.stderr, flush=True)
             state, step, batch, rng = build(n, args.task, args.batch)
-            state, per_step = measure(state, step, batch, rng, args.iters)
+            state, per_step = measure(
+                state, step, batch, rng, args.iters,
+                pipelined=args.pipelined,
+            )
             exps = args.batch / per_step
             results[n].append(exps)
             print(f"[bench_train] rep{rep} {n}: {per_step*1e3:.0f} ms/step "

@@ -421,3 +421,62 @@ class TestRationaleGenerator:
                 assert e.code == 404
         finally:
             server.shutdown()
+
+    def test_sample_mode_deterministic_given_rng(self, generator):
+        # switch mode on the fly: mode only selects the jitted program
+        old = generator.mode
+        generator.mode = "sample"
+        try:
+            exs = [RawExample("s0", "img-0", "two people talk .",
+                              ["hug .", "fight .", "leave .", "sing ."],
+                              None)]
+            r1 = generator.generate(exs, rng=jax.random.PRNGKey(11))
+            r2 = generator.generate(exs, rng=jax.random.PRNGKey(11))
+            assert r1 == r2
+            assert all(0 <= t < 128 for t in r1[0]["rationale_ids"])
+        finally:
+            generator.mode = old
+
+    def test_fused_greedy_matches_two_program_path(self, generator):
+        """The fused classify+decode program must reproduce the two-program
+        path exactly (same classify probs, same greedy tokens)."""
+        import jax.numpy as jnp
+
+        from multimodal_context_reasoning_tpu.generation.api import generate
+
+        exs = [
+            RawExample(f"f{i}", f"img-{i}", "one person waves .",
+                       ["smile .", "cry .", "run .", "wave ."], None)
+            for i in range(2)
+        ]
+        fused = generator.generate(exs)
+
+        from multimodal_context_reasoning_tpu.data.collate import (
+            collate_candidates,
+        )
+        batch = collate_candidates(
+            [generator._ds.featurize(e) for e in exs],
+            [generator._ds.get_image(e) for e in exs],
+            generator.spec,
+        )
+        batch.pop("label", None)
+        probs, mem, mmask = generator._fwd(
+            generator.params, {k: jnp.asarray(v) for k, v in batch.items()}
+        )
+        Q = generator.micro_batch
+        prompt = jnp.full((Q, 1), generator._b_rtnl, jnp.int32)
+        tokens, lengths = generate(
+            generator._dec, generator._dec_params, prompt,
+            jnp.ones((Q,), jnp.int32), mode="greedy",
+            memory=mem, memory_mask=mmask,
+            max_len=generator.max_rationale_len,
+            eos_id=generator._e_rtnl, pad_id=0,
+        )
+        for i, r in enumerate(fused):
+            np.testing.assert_allclose(
+                r["probs"], np.asarray(probs, np.float32)[i], rtol=1e-5,
+                atol=1e-5,
+            )
+            assert r["rationale_ids"] == [
+                int(t) for t in np.asarray(tokens)[i][: int(lengths[i])]
+            ]
