@@ -34,6 +34,10 @@ class ModCRScorer:
         micro_batch: int = 8,           # examples per device call
         warm: bool = True,
         params_dtype: Optional[str] = None,   # e.g. "bfloat16"
+        mesh=None,                      # jax.sharding.Mesh ("data","model"):
+                                        # multi-chip serving — params laid
+                                        # out by the TP rules, each request
+                                        # row-sharded over "data"
     ):
         self.config = config
         if params_dtype is not None:
@@ -48,6 +52,20 @@ class ModCRScorer:
                 lambda a: a.astype(dt)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, p,
             ))(params)
+        self.mesh = mesh
+        if mesh is not None:
+            from multimodal_context_reasoning_tpu.parallel.partition import (
+                param_shardings,
+            )
+
+            n_data = mesh.shape["data"]
+            rows = micro_batch * config.num_labels
+            if rows % n_data:
+                raise ValueError(
+                    f"micro_batch×{config.num_labels}={rows} rows must "
+                    f"divide the mesh's data axis ({n_data})"
+                )
+            params = jax.device_put(params, param_shardings(params, mesh))
         self.params = params
         self.micro_batch = micro_batch
         self.features = image_features
@@ -104,9 +122,17 @@ class ModCRScorer:
             [f[0] for f in feats], [f[1] for f in feats], self._ds.spec
         )
         batch.pop("label", None)
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            from multimodal_context_reasoning_tpu.parallel.partition import (
+                batch_shardings,
+            )
+
+            device_batch = jax.device_put(
+                device_batch, batch_shardings(device_batch, self.mesh)
+            )
         logits = np.asarray(
-            self._fwd(self.params, {k: jnp.asarray(v) for k, v in batch.items()}),
-            np.float32,
+            self._fwd(self.params, device_batch), np.float32,
         )[:real]
         probs = np.exp(logits - logits.max(-1, keepdims=True))
         probs = probs / probs.sum(-1, keepdims=True)

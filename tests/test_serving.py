@@ -480,3 +480,42 @@ class TestRationaleGenerator:
             assert r["rationale_ids"] == [
                 int(t) for t in np.asarray(tokens)[i][: int(lengths[i])]
             ]
+
+
+class TestShardedScorer:
+    def test_mesh_sharded_scoring_matches_single_device(self, scorer):
+        """Multi-chip serving: params laid out by the TP partition rules,
+        request rows sharded over "data" — results must equal the
+        single-device scorer bit-for-bit at fp32 tolerance."""
+        from multimodal_context_reasoning_tpu.parallel.mesh import make_mesh
+        from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        mesh = make_mesh((4, 2))
+        sharded = ModCRScorer(
+            scorer.config, scorer.params, scorer._ds.bert,
+            scorer._ds.roberta, scorer.features,
+            micro_batch=2, mesh=mesh,    # 8 rows over data=4
+        )
+        exs = [_example(i) for i in range(3)]
+        a = scorer.score(exs)
+        b = sharded.score(exs)
+        for ra, rb in zip(a, b):
+            assert ra["prediction"] == rb["prediction"]
+            np.testing.assert_allclose(
+                ra["logits"], rb["logits"], rtol=2e-4, atol=2e-4
+            )
+
+    def test_row_divisibility_is_enforced(self, scorer):
+        from multimodal_context_reasoning_tpu.parallel.mesh import make_mesh
+        from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        with pytest.raises(ValueError, match="divide"):
+            ModCRScorer(
+                scorer.config, scorer.params, scorer._ds.bert,
+                scorer._ds.roberta, scorer.features,
+                micro_batch=1, mesh=make_mesh((8, 1)), warm=False,
+            )
