@@ -21,6 +21,7 @@ Differences by design:
 from __future__ import annotations
 
 import json
+import threading
 from collections import OrderedDict
 from typing import Dict, Iterable, List, Optional, Sequence
 
@@ -103,11 +104,14 @@ class PMRDataset:
         self.chunker = chunker or HeuristicChunker()
         self.max_chunks = max_chunks
         # LRU-bounded (~16 KB/example → default cap ≈ 1 GB host RAM);
-        # feat_cache_size=None → unbounded, 0 → disabled
+        # feat_cache_size=None → unbounded, 0 → disabled.  The lock makes
+        # hit/evict safe under concurrent loader producer threads (an
+        # abandoned prefetch iterator's producer can overlap a fresh one).
         self.feat_cache_size = feat_cache_size
         self._feat_cache: "OrderedDict[int, List[CandidateFeatures]]" = (
             OrderedDict()
         )
+        self._feat_cache_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.examples)
@@ -196,17 +200,19 @@ class PMRDataset:
         RAM for the run's lifetime."""
         if self.feat_cache_size == 0:
             return self.featurize(self.examples[i])
-        cached = self._feat_cache.get(i)
-        if cached is None:
-            cached = self.featurize(self.examples[i])
+        with self._feat_cache_lock:
+            cached = self._feat_cache.get(i)
+            if cached is not None:
+                self._feat_cache.move_to_end(i)
+                return cached
+        cached = self.featurize(self.examples[i])  # slow path: outside lock
+        with self._feat_cache_lock:
             self._feat_cache[i] = cached
             if (
                 self.feat_cache_size is not None
                 and len(self._feat_cache) > self.feat_cache_size
             ):
                 self._feat_cache.popitem(last=False)
-        else:
-            self._feat_cache.move_to_end(i)
         return cached
 
     def batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:

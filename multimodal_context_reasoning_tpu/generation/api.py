@@ -135,10 +135,17 @@ def generate(
     if mode == "sample":
         if rng is None:
             raise ValueError("mode='sample' requires rng")
+        # the static filter gate needs a host-side truth value; when the
+        # caller wrapped generate() in an outer jit and traced top_p, the
+        # value is unknowable — run the filter (the pre-gate behavior)
+        use_top_p = (
+            True if isinstance(top_p, jax.core.Tracer)
+            else bool(top_p < 1.0)
+        )
         return _sample(
             model, params, prompt_ids, prompt_len, rng=rng,
             temperature=temperature, top_k=top_k, top_p=top_p,
-            use_top_p=bool(top_p < 1.0), **common,
+            use_top_p=use_top_p, **common,
         )
     if mode == "beam":
         if rng is None:

@@ -22,6 +22,7 @@ offline eval loop.
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -89,6 +90,7 @@ class RationaleGenerator:
         self.params = params
         self.features = image_features
         self.micro_batch = micro_batch
+        self._auto_seed = itertools.count()  # sample mode without rng
         self.max_rationale_len = max_rationale_len
         self.mode = mode
         self.num_labels = num_labels
@@ -161,9 +163,17 @@ class RationaleGenerator:
         self, examples: Sequence[RawExample], *, rng: Optional[jax.Array] = None
     ) -> List[Dict]:
         """Classify + decode any number of questions; internally chunks to
-        the static micro-batch (last chunk padded by repetition)."""
+        the static micro-batch (last chunk padded by repetition).
+
+        Sampling mode without an explicit ``rng`` draws a fresh key per
+        call from an instance counter — repeated identical requests get
+        different samples (a fixed hidden seed would make the 'sampling'
+        endpoint deterministic)."""
+        if self.mode != "greedy" and rng is None:
+            rng = jax.random.PRNGKey(next(self._auto_seed))
         out: List[Dict] = []
         mb = self.micro_batch
+        # chunk/pad contract mirrors ModCRScorer.score — change both together
         for ci, start in enumerate(range(0, len(examples), mb)):
             out.extend(self._generate_chunk(
                 list(examples[start:start + mb]),
@@ -204,8 +214,7 @@ class RationaleGenerator:
                 self._dec, self._dec_params, prompt, prompt_len,
                 mode=self.mode, memory=memory, memory_mask=memory_mask,
                 max_len=self.max_rationale_len, eos_id=self._e_rtnl,
-                pad_id=self._gpt2_cfg.pad_token_id,
-                rng=rng if rng is not None else jax.random.PRNGKey(0),
+                pad_id=self._gpt2_cfg.pad_token_id, rng=rng,
             )
 
         probs = np.asarray(probs, np.float32)[:real]
@@ -214,6 +223,9 @@ class RationaleGenerator:
         results = []
         for ex, pr, tok, ln in zip(examples, probs, tokens, lengths):
             ids = [int(t) for t in tok[: int(ln)]]
+            if ids and ids[-1] == self._e_rtnl:
+                ids = ids[:-1]  # the stop marker is an internal sentinel,
+                                # not part of the user-facing rationale
             res = {
                 "example_id": ex.example_id,
                 "prediction": int(np.argmax(pr)),

@@ -62,8 +62,9 @@ class ModCRScorer:
             rows = micro_batch * config.num_labels
             if rows % n_data:
                 raise ValueError(
-                    f"micro_batch×{config.num_labels}={rows} rows must "
-                    f"divide the mesh's data axis ({n_data})"
+                    f"the mesh's data axis ({n_data}) must divide "
+                    f"micro_batch×{config.num_labels}={rows} rows — "
+                    f"raise micro_batch or shrink the data axis"
                 )
             params = jax.device_put(params, param_shardings(params, mesh))
         self.params = params
@@ -122,15 +123,19 @@ class ModCRScorer:
             [f[0] for f in feats], [f[1] for f in feats], self._ds.spec
         )
         batch.pop("label", None)
-        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.mesh is not None:
             from multimodal_context_reasoning_tpu.parallel.partition import (
                 batch_shardings,
             )
 
+            # device_put the NUMPY batch straight to its shards — going
+            # through jnp.asarray first would commit everything to device 0
+            # and pay a second redistribution transfer
             device_batch = jax.device_put(
-                device_batch, batch_shardings(device_batch, self.mesh)
+                batch, batch_shardings(batch, self.mesh)
             )
+        else:
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         logits = np.asarray(
             self._fwd(self.params, device_batch), np.float32,
         )[:real]
@@ -148,7 +153,9 @@ class ModCRScorer:
 
     def score(self, examples: Sequence[RawExample]) -> List[Dict]:
         """Score any number of examples; internally chunks to the static
-        micro-batch (last chunk padded by repetition)."""
+        micro-batch (last chunk padded by repetition).  The chunk/pad
+        contract mirrors RationaleGenerator.generate — change both
+        together."""
         out: List[Dict] = []
         mb = self.micro_batch
         for start in range(0, len(examples), mb):

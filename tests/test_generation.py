@@ -687,3 +687,25 @@ class TestTracedSamplingKnobs:
                               memory=mem, memory_mask=mmask, max_len=6,
                               eos_id=1, pad_id=0)
         np.testing.assert_array_equal(np.asarray(t_off), np.asarray(t_on))
+
+    def test_generate_survives_outer_jit_with_traced_top_p(self, gpt2_setup):
+        """The static use_top_p gate must not concretize a traced top_p:
+        wrapping generate(mode='sample') in an outer jit with top_p as a
+        jit argument worked before the gate (filter simply ran) and must
+        keep working (the gate falls back to running the filter)."""
+        from multimodal_context_reasoning_tpu.generation import api
+
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        plen = jnp.asarray([Lp, Lp - 2], jnp.int32)
+
+        @jax.jit
+        def outer(p, tp, rng):
+            return api.generate(
+                model, p, prompt, plen, mode="sample", rng=rng,
+                memory=mem, memory_mask=mmask, max_len=4, eos_id=1,
+                pad_id=0, top_k=0, temperature=0.9, top_p=tp,
+            )[0]
+
+        toks = outer(params, jnp.float32(0.8), jax.random.PRNGKey(2))
+        assert toks.shape == (B, 4)

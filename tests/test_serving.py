@@ -477,9 +477,12 @@ class TestRationaleGenerator:
                 r["probs"], np.asarray(probs, np.float32)[i], rtol=1e-5,
                 atol=1e-5,
             )
-            assert r["rationale_ids"] == [
+            expect = [
                 int(t) for t in np.asarray(tokens)[i][: int(lengths[i])]
             ]
+            if expect and expect[-1] == generator._e_rtnl:
+                expect = expect[:-1]  # generator strips the stop marker
+            assert r["rationale_ids"] == expect
 
 
 class TestShardedScorer:
