@@ -43,10 +43,13 @@ def pad_to(x: np.ndarray, length: int, value=0) -> np.ndarray:
 
 def collate_candidates(
     candidates: Sequence[Sequence[CandidateFeatures]],  # [B][num_labels]
-    images: Sequence[ImageFeatures],                    # [B]
+    images,                 # [B] ImageFeatures, or None (device-table mode)
     spec: BatchSpec,
 ) -> Dict[str, np.ndarray]:
-    """[B] examples × num_labels candidates → flat [B·num_labels] batch."""
+    """[B] examples × num_labels candidates → flat [B·num_labels] batch.
+
+    ``images=None`` omits img_feat/img_mask — the caller attaches device-
+    table row indices instead (data/device_table.py)."""
     B = len(candidates)
     K = spec.num_labels
     N = B * K
@@ -67,10 +70,17 @@ def collate_candidates(
         "label": np.zeros((N,), np.float32),
     }
 
+    if images is None:
+        # device-table mode (data/device_table.py): image features are
+        # gathered ON DEVICE from a resident table — the batch carries row
+        # indices instead of materialized [N, I, F] features
+        del out["img_feat"], out["img_mask"]
+        images = [None] * B
     for b, (cands, img) in enumerate(zip(candidates, images)):
         assert len(cands) == K, f"expected {K} candidates, got {len(cands)}"
-        n_reg = min(img.num_regions, I)
-        feats = img.features[:n_reg].astype(np.float32)
+        if img is not None:
+            n_reg = min(img.num_regions, I)
+            feats = img.features[:n_reg].astype(np.float32)
         for k, c in enumerate(cands):
             n = b * K + k
             t = min(len(c.input_ids), T)
@@ -86,8 +96,9 @@ def collate_candidates(
             )
             out["r_token_type_ids"][n] = pad_to(np.asarray(c.r_token_type_ids, np.int32), R)
             out["r_attention_mask"][n, :r] = 1.0
-            out["img_feat"][n, :n_reg] = feats
-            out["img_mask"][n, :n_reg] = 1.0
+            if img is not None:
+                out["img_feat"][n, :n_reg] = feats
+                out["img_mask"][n, :n_reg] = 1.0
             out["label"][n] = np.float32(c.target)
 
     return out

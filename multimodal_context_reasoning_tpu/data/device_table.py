@@ -1,0 +1,66 @@
+"""Device-resident image-feature table: gather rows on device, ship ids.
+
+The reference materializes every batch's region features on the host and
+ships them with the batch (Data/VCRChunkAlign.py:690-741 stacks img_feat
+per candidate row) — at production geometry that is ~52 MB of fp32 per
+batch-32 step, the single largest host→device transfer of the training
+loop.  On TPU the natural layout is the opposite: keep the WHOLE feature
+table resident in HBM once (bf16: 2 bytes × I × F per image — the
+reference's full PMR image set is well under 1 GB) and gather the batch's
+rows inside the jitted step from a [N] int32 index vector (~0.2 MB/batch).
+
+Wiring: :meth:`PMRDataset.use_device_table` switches the dataset's batches
+to carry ``img_row`` + references to the resident ``feat_table`` /
+``feat_mask_table`` arrays (the same device buffers every batch — the
+trainer's ``jnp.asarray`` is a no-op on them, so nothing re-transfers);
+``train/step.py::_model_inputs`` expands the gather inside the compiled
+program.
+
+Single-host scope: the multi-host ``global_batch`` lift shards batches by
+rows and would mis-shard the table; use per-host tables there.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_context_reasoning_tpu.data.schemas import ImageFeatures
+
+
+class DeviceFeatureTable:
+    def __init__(
+        self,
+        image_features: Dict[str, ImageFeatures],
+        *,
+        img_len: int,
+        dtype: str = "bfloat16",
+    ):
+        keys = sorted(image_features.keys())
+        self.row = {k: i for i, k in enumerate(keys)}
+        n = len(keys)
+        first = image_features[keys[0]]
+        feat_dim = first.features.shape[-1]
+        table = np.zeros((n, img_len, feat_dim), np.float32)
+        mask = np.zeros((n, img_len), np.float32)
+        for i, k in enumerate(keys):
+            img = image_features[k]
+            r = min(img.num_regions, img_len)
+            table[i, :r] = img.features[:r]
+            mask[i, :r] = 1.0
+        jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.dtype(dtype)
+        self.table = jnp.asarray(table, jdt)       # [n, I, F] resident
+        self.mask = jnp.asarray(mask, jnp.float32)  # [n, I]
+
+    def row_for(self, img_id: str) -> int:
+        key = str(img_id)
+        if key in self.row:
+            return self.row[key]
+        # the reference keys features as "img-<num>" (VCRChunkAlign.py:586)
+        return self.row[f"img-{key.split('-')[-1]}"]
+
+    @property
+    def nbytes(self) -> int:
+        return self.table.nbytes + self.mask.nbytes

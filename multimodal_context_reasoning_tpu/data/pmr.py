@@ -215,7 +215,30 @@ class PMRDataset:
                 self._feat_cache.popitem(last=False)
         return cached
 
+    def use_device_table(self, table) -> None:
+        """Switch batches to device-table mode (data/device_table.py):
+        img features are gathered on device from the resident table; each
+        batch ships only per-row int32 indices."""
+        self.device_table = table
+
     def batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
         cands = [self._featurize_cached(int(i)) for i in indices]
-        imgs = [self.get_image(self.examples[i]) for i in indices]
-        return collate_candidates(cands, imgs, self.spec)
+        table = getattr(self, "device_table", None)
+        if table is None:
+            imgs = [self.get_image(self.examples[i]) for i in indices]
+            return collate_candidates(cands, imgs, self.spec)
+        out = collate_candidates(cands, None, self.spec)
+        K = self.spec.num_labels
+        rows = np.repeat(
+            np.asarray(
+                [table.row_for(self.examples[i].img_id) for i in indices],
+                np.int32,
+            ),
+            K,
+        )
+        out["img_row"] = rows                       # [B·K]
+        # the SAME device buffers every batch: jnp.asarray is a no-op on
+        # them, so the table never re-transfers
+        out["feat_table"] = table.table
+        out["feat_mask_table"] = table.mask
+        return out

@@ -36,6 +36,13 @@ def global_batch(
     """
     from jax.experimental import multihost_utils
 
+    if "feat_table" in batch:
+        raise ValueError(
+            "device-table batches are single-host scope: the table must "
+            "not be row-sharded by the global lift — build one "
+            "DeviceFeatureTable per host and keep batches local, or drop "
+            "use_device_table for multi-host runs"
+        )
     batch = {k: np.asarray(v) for k, v in batch.items()}
     return multihost_utils.host_local_array_to_global_array(
         batch, mesh, PartitionSpec(axis)

@@ -64,11 +64,23 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+# batch keys whose leading axis is NOT the example/row axis — the
+# device-resident feature table (data/device_table.py) is indexed by
+# image id and must replicate, not row-shard
+_REPLICATED_BATCH_KEYS = frozenset({"feat_table", "feat_mask_table"})
+
+
 def batch_shardings(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Shard every batch array over ``data`` on its leading axis."""
-    return jax.tree_util.tree_map(
-        lambda x: NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))), batch
-    )
+    """Shard every batch array over ``data`` on its leading axis (tables
+    replicate — see _REPLICATED_BATCH_KEYS)."""
+
+    def assign(path, x):
+        key = str(getattr(path[-1], "key", "")) if path else ""
+        if key in _REPLICATED_BATCH_KEYS:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+
+    return jax.tree_util.tree_map_with_path(assign, batch)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -36,7 +36,17 @@ Batch = Dict[str, jnp.ndarray]
 
 
 def _model_inputs(batch: Batch) -> Batch:
-    return {k: v for k, v in batch.items() if k != "example_mask"}
+    batch = {k: v for k, v in batch.items() if k != "example_mask"}
+    if "img_row" in batch:
+        # device-table mode (data/device_table.py): gather the batch's
+        # image features from the HBM-resident table inside the compiled
+        # program — the host ships [N] int32 ids, not [N, I, F] floats
+        table = batch.pop("feat_table")
+        tmask = batch.pop("feat_mask_table")
+        rows = batch.pop("img_row")
+        batch["img_feat"] = table[rows]
+        batch["img_mask"] = tmask[rows]
+    return batch
 
 
 def _metrics(out, batch: Batch, num_labels: int) -> Dict[str, jnp.ndarray]:

@@ -81,8 +81,11 @@ class Trainer:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         if sample_batch is None:
             sample_batch = next(iter(self.train_loader))
-        inputs = {k: jnp.asarray(v) for k, v in sample_batch.items()
-                  if k != "example_mask"}
+        from multimodal_context_reasoning_tpu.train.step import _model_inputs
+
+        inputs = _model_inputs(
+            {k: jnp.asarray(v) for k, v in sample_batch.items()}
+        )
         # jit the init: unjitted, every parameter initializer is a separate
         # device dispatch — ruinous over a high-latency device link
         params = jax.jit(self.model.init)(rng, inputs)

@@ -107,6 +107,13 @@ def main(argv=None):
                         "uniform) reaches 100%% train acc by step 30 "
                         "(measured on the v5e, see BENCHMARKS.md)")
     p.add_argument("--out", default="/tmp/pmr_real")
+    p.add_argument("--no_device_features", dest="device_features",
+                   action="store_false", default=True,
+                   help="disable the HBM-resident feature table "
+                        "(data/device_table.py). With it, each step ships "
+                        "[N] int32 image ids instead of [N, I, F] fp32 "
+                        "features and gathers on device — the dominant "
+                        "host->device transfer of the loop removed")
     args = p.parse_args(argv)
 
     import jax
@@ -213,8 +220,23 @@ def main(argv=None):
         roberta_len=cfg.roberta_len, num_labels=cfg.num_labels,
         img_feature_dim=cfg.global_encoder.img_feature_dim,
     )
-    mk = lambda exs: dataset_cls(exs, feats, bert, rob, spec=spec,
-                                 max_chunks=cfg.max_chunks)
+    table = None
+    if args.device_features:
+        from multimodal_context_reasoning_tpu.data.device_table import (
+            DeviceFeatureTable,
+        )
+
+        table = DeviceFeatureTable(feats, img_len=cfg.img_len)
+        logger.info("device feature table resident: %d images, %.1f MB",
+                    len(table.row), table.nbytes / 1e6)
+
+    def mk(exs):
+        ds = dataset_cls(exs, feats, bert, rob, spec=spec,
+                         max_chunks=cfg.max_chunks)
+        if table is not None:
+            ds.use_device_table(table)
+        return ds
+
     train_dl = DataLoader(mk(train_ex), args.batch, shuffle=True,
                           seed=args.seed, drop_last=True)
     val_dl = DataLoader(mk(val_ex), args.eval_batch)
