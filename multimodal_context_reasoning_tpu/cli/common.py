@@ -107,6 +107,12 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="inference-only dynamic W8A8 int8 matmuls in all "
                         "three towers (ops/quant.py; 2x MXU peak on v5e). "
                         "Ignored on the training path.")
+    p.add_argument("--device_features", action="store_true",
+                   help="keep the whole image-feature set resident in "
+                        "device HBM once and gather per batch from int32 "
+                        "ids (data/device_table.py) instead of shipping "
+                        "[N, I, F] floats every step — the loop's largest "
+                        "host->device transfer (~52 MB/step at batch 32)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host "
                         "(DCN) runs; single-host/TPU-pod-slice jobs where "

@@ -106,6 +106,25 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
     tokenizers = load_tokenizers(args, cfg)
     model = ModCRModel(cfg)
 
+    device_table = None
+    if args.device_features:
+        from multimodal_context_reasoning_tpu.data.device_table import (
+            DeviceFeatureTable,
+        )
+
+        # table dtype follows the compute dtype (the forward casts
+        # features there anyway); works off a dict or the native
+        # FeatureStore (keys + __getitem__)
+        device_table = DeviceFeatureTable(
+            feats, img_len=cfg.img_len,
+            dtype="bfloat16"
+            if cfg.global_encoder.dtype == "bfloat16" else "float32",
+        )
+        logger.info(
+            "device feature table resident: %d images, %.1f MB HBM",
+            len(device_table.row), device_table.nbytes / 1e6,
+        )
+
     def maybe_import_reference_weights(params):
         """Graft reference torch checkpoints when any --*_ckpt is given
         (run_PMR_ModCR.py:709-835 load sequence)."""
@@ -140,6 +159,10 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
             make_dataset(args, cfg, args.val_file, feats, tokenizers)
             if args.val_file else None
         )
+        if device_table is not None:
+            train_ds.use_device_table(device_table)
+            if val_ds is not None:
+                val_ds.use_device_table(device_table)
         train_dl = DataLoader(
             train_ds, args.per_gpu_train_batch_size, shuffle=True,
             seed=args.seed, drop_last=True,
@@ -186,6 +209,8 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
 
     if args.do_test:
         test_ds = make_dataset(args, cfg, args.test_file, feats, tokenizers)
+        if device_table is not None:
+            test_ds.use_device_table(device_table)
         # NOTE: --do_test stays unsharded by design — it gathers per-example
         # logits for the prediction file on the host (write_test_predictions
         # needs every row locally); multi-host test runs are not a
@@ -203,9 +228,13 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
             assert_dedup_invariant(sample, cfg.num_labels)
         import jax.numpy as jnp
 
+        from multimodal_context_reasoning_tpu.train.step import _model_inputs
+
+        # _model_inputs expands the device-table gather (and strips
+        # example_mask) so init sees the model's real input schema
         params = jax.jit(model.init)(
             jax.random.PRNGKey(0),
-            {k: jnp.asarray(v) for k, v in sample.items() if k != "example_mask"},
+            _model_inputs({k: jnp.asarray(v) for k, v in sample.items()}),
         )
         params = maybe_import_reference_weights(params)
         if args.eval_model_dir:

@@ -28,6 +28,10 @@ def main(argv=None):
                    help="dynamic W8A8 int8 matmuls (ops/quant.py)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=("float32", "bfloat16"))
+    p.add_argument("--device_features", action="store_true",
+                   help="keep the image-feature set resident in HBM; "
+                        "requests ship int32 ids instead of [I, F] floats "
+                        "(cuts per-request h2d; data/device_table.py)")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
 
@@ -92,6 +96,7 @@ def main(argv=None):
     scorer = ModCRScorer(
         cfg, params, bert, rob, feats, micro_batch=args.micro_batch,
         params_dtype=args.params_dtype,
+        use_device_table=args.device_features,
     )
     print(f"serving on http://{args.host}:{args.port} "
           f"(micro_batch={args.micro_batch})", flush=True)

@@ -114,6 +114,25 @@ def assert_dedup_invariant(batch, num_labels: int = 4) -> None:
     this once on a representative batch — the CLI and serving entry points
     do.  Raises ValueError on violation.
     """
+    if "img_feat" not in batch and "img_row" in batch:
+        # device-table batch (data/device_table.py): rows with the same
+        # table index gather identical features, so the invariant reduces
+        # to per-example img_row equality
+        rows = np.asarray(batch["img_row"])
+        if rows.shape[0] % num_labels:
+            raise ValueError(
+                f"batch rows {rows.shape[0]} not divisible by "
+                f"num_labels {num_labels}"
+            )
+        per = rows.reshape(-1, num_labels)
+        if not (per == per[:, :1]).all():
+            bad = int(np.argmax(~(per == per[:, :1]).all(axis=1)))
+            raise ValueError(
+                f"example {bad}: candidate rows index different table "
+                f"rows — dedup_vision_prefix would compute wrong vision "
+                f"prefixes; set ModCRConfig.dedup_vision_prefix=False"
+            )
+        return
     feat = np.asarray(batch["img_feat"])
     mask = np.asarray(batch["img_mask"])
     n = feat.shape[0]

@@ -16,24 +16,23 @@ trainer's ``jnp.asarray`` is a no-op on them, so nothing re-transfers);
 ``train/step.py::_model_inputs`` expands the gather inside the compiled
 program.
 
-Single-host scope: the multi-host ``global_batch`` lift shards batches by
-rows and would mis-shard the table; use per-host tables there.
+Multi-host: every process builds its table from the same image-feature
+dict (sorted keys make the array deterministic); ``global_batch``
+(parallel/multihost.py) lifts the table keys replicated — once, cached,
+with a cross-host checksum guard — while the rest of the batch row-shards.
 """
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax.numpy as jnp
 import numpy as np
-
-from multimodal_context_reasoning_tpu.data.schemas import ImageFeatures
 
 
 class DeviceFeatureTable:
     def __init__(
         self,
-        image_features: Dict[str, ImageFeatures],
+        image_features,  # mapping img_id -> ImageFeatures: a dict or the
+                         # native FeatureStore (keys() + __getitem__)
         *,
         img_len: int,
         dtype: str = "bfloat16",

@@ -16,12 +16,55 @@ the identical psum'd loss).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict, Tuple
 
 import numpy as np
 
 import jax
 from jax.sharding import Mesh, PartitionSpec
+
+# Batch keys whose leading axis is the image id, not the example row — the
+# device-resident feature table (data/device_table.py).  These must lift
+# REPLICATED (every host builds the identical table: DeviceFeatureTable
+# sorts its keys, so same features dict → same array), while the rest of
+# the batch row-shards over ``axis``.
+_TABLE_KEYS: Tuple[str, ...] = ("feat_table", "feat_mask_table")
+
+# id(local array) → (src ref, mesh ref, lifted global array).  The source
+# refs keep the ids stable; the table is the loop's largest array and every
+# batch carries the SAME buffer, so the lift must happen once, not per step.
+_replicated_cache: Dict[int, Tuple[Any, Mesh, jax.Array]] = {}
+
+
+def _lift_replicated(x, mesh: Mesh, name: str) -> jax.Array:
+    """Host-identical array → fully-replicated global array (cached).
+
+    Cheap cross-host agreement check: the table's checksum is allgathered
+    and compared — divergent per-host tables would otherwise be silently
+    wrong (each device reads its own host's copy under a replicated spec).
+    """
+    from jax.experimental import multihost_utils
+
+    hit = _replicated_cache.get(id(x))
+    if hit is not None and hit[0] is x and hit[1] is mesh:
+        return hit[2]
+    local = np.asarray(x)
+    digest = np.asarray(
+        [np.float64(np.sum(np.asarray(local, np.float32))), *local.shape],
+        np.float64,
+    )
+    digests = multihost_utils.process_allgather(digest)
+    if not np.all(digests == digests[0]):
+        raise ValueError(
+            f"device-table batch key {name!r} differs across hosts "
+            f"(checksums {digests.tolist()}); every process must build its "
+            "DeviceFeatureTable from the same image-feature dict"
+        )
+    glob = multihost_utils.host_local_array_to_global_array(
+        local, mesh, PartitionSpec()
+    )
+    _replicated_cache[id(x)] = (x, mesh, glob)
+    return glob
 
 
 def global_batch(
@@ -33,17 +76,19 @@ def global_batch(
 
     Every process must call this with its own equally-sized shard; the
     concatenation over processes (in process order) forms the global batch.
+    Device-table keys (``feat_table``/``feat_mask_table``) lift replicated
+    instead — once, cached — so multi-host runs keep the ship-ids-not-floats
+    data path (data/device_table.py).
     """
     from jax.experimental import multihost_utils
 
-    if "feat_table" in batch:
-        raise ValueError(
-            "device-table batches are single-host scope: the table must "
-            "not be row-sharded by the global lift — build one "
-            "DeviceFeatureTable per host and keep batches local, or drop "
-            "use_device_table for multi-host runs"
-        )
-    batch = {k: np.asarray(v) for k, v in batch.items()}
-    return multihost_utils.host_local_array_to_global_array(
-        batch, mesh, PartitionSpec(axis)
+    tables = {k: batch[k] for k in _TABLE_KEYS if k in batch}
+    rows = {
+        k: np.asarray(v) for k, v in batch.items() if k not in tables
+    }
+    out = multihost_utils.host_local_array_to_global_array(
+        rows, mesh, PartitionSpec(axis)
     )
+    for k, v in tables.items():
+        out[k] = _lift_replicated(v, mesh, k)
+    return out

@@ -38,6 +38,10 @@ class ModCRScorer:
                                         # multi-chip serving — params laid
                                         # out by the TP rules, each request
                                         # row-sharded over "data"
+        use_device_table: bool = False,  # keep the whole image-feature set
+                                        # resident in HBM; requests ship
+                                        # int32 ids, not [I, F] floats
+                                        # (data/device_table.py)
     ):
         self.config = config
         if params_dtype is not None:
@@ -79,9 +83,36 @@ class ModCRScorer:
             [], image_features, bert_tokenizer, roberta_tokenizer,
             spec=spec, max_chunks=config.max_chunks,
         )
+        self.table = None
+        if use_device_table:
+            from multimodal_context_reasoning_tpu.data.device_table import (
+                DeviceFeatureTable,
+            )
+
+            # works with a dict OR the native FeatureStore — the table
+            # builder only needs keys() + __getitem__ (one mmap read per
+            # image, once).  Table dtype follows the compute dtype: bf16
+            # halves HBM and is what the forward casts features to anyway.
+            self.table = DeviceFeatureTable(
+                image_features, img_len=config.img_len,
+                dtype="bfloat16"
+                if config.global_encoder.dtype == "bfloat16" else "float32",
+            )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(mesh, PartitionSpec())
+                self.table.table = jax.device_put(self.table.table, rep)
+                self.table.mask = jax.device_put(self.table.mask, rep)
         model = ModCRModel(config)
+        from multimodal_context_reasoning_tpu.train.step import _model_inputs
+
+        # _model_inputs expands the device-table gather inside the program
+        # (a no-op for plain batches)
         self._fwd = jax.jit(
-            lambda p, b: model.apply(p, b, deterministic=True).logits
+            lambda p, b: model.apply(
+                p, _model_inputs(b), deterministic=True
+            ).logits
         )
         if warm:
             self._warmup()
@@ -102,7 +133,11 @@ class ModCRScorer:
 
     def featurize(self, ex: RawExample):
         """Host-side featurization for one example — safe to run on any
-        request thread (pure numpy; the device is untouched)."""
+        request thread (pure numpy; the device is untouched).  In
+        device-table mode the image leg is an int32 row id instead of the
+        [I, F] feature block."""
+        if self.table is not None:
+            return self._ds.featurize(ex), self.table.row_for(ex.img_id)
         return self._ds.featurize(ex), self._ds.get_image(ex)
 
     def score_featurized(
@@ -119,9 +154,18 @@ class ModCRScorer:
         feats = list(feats)
         while len(feats) < self.micro_batch:
             feats.append(feats[-1])
-        batch = collate_candidates(
-            [f[0] for f in feats], [f[1] for f in feats], self._ds.spec
-        )
+        if self.table is not None:
+            batch = collate_candidates(
+                [f[0] for f in feats], None, self._ds.spec
+            )
+            batch["img_row"] = np.repeat(
+                np.asarray([f[1] for f in feats], np.int32),
+                self.config.num_labels,
+            )
+        else:
+            batch = collate_candidates(
+                [f[0] for f in feats], [f[1] for f in feats], self._ds.spec
+            )
         batch.pop("label", None)
         if self.mesh is not None:
             from multimodal_context_reasoning_tpu.parallel.partition import (
@@ -136,6 +180,11 @@ class ModCRScorer:
             )
         else:
             device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.table is not None:
+            # the SAME resident buffers every call — nothing re-transfers
+            # (mesh mode: replicated once at construction)
+            device_batch["feat_table"] = self.table.table
+            device_batch["feat_mask_table"] = self.table.mask
         logits = np.asarray(
             self._fwd(self.params, device_batch), np.float32,
         )[:real]

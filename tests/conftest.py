@@ -16,9 +16,31 @@ and parallel on local CPU.
 import os
 import sys
 
+def _release_captured_stdio():
+    """Undo pytest's fd-level capture before the re-exec below.
+
+    Pytest dup2's fd 1/2 onto private tempfiles BEFORE importing initial
+    conftests (the saved originals are CLOEXEC and die across execve), so
+    without this the re-exec'd pytest would write its entire report into
+    the dead process's capture file and the run would appear silent.
+    """
+    try:
+        import gc
+
+        from _pytest.capture import CaptureManager
+
+        for obj in gc.get_objects():
+            if isinstance(obj, CaptureManager):
+                obj.suspend_global_capture(in_=True)
+                break
+    except Exception:
+        pass  # capture not active (older pytest orders) — fds are real
+
+
 if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
     "_MODCR_TESTS_REEXEC"
 ):
+    _release_captured_stdio()
     env = dict(os.environ)
     for key in list(env):
         if key.startswith(("PALLAS_AXON", "AXON_", "TPU_")):

@@ -299,3 +299,46 @@ class TestRunVCRTrain:
         # applied, but both micro-steps ran
         assert int(state.step) == 2
         assert os.path.exists(out / "config.json")
+
+
+class TestDeviceFeaturesCLI:
+    def test_do_test_device_features_matches_plain(
+        self, feature_pickle, tmp_path
+    ):
+        """--device_features: batches ship int32 ids, features gather from
+        the HBM-resident table — predictions identical to the plain path
+        (fp32 table at the tiny config's fp32 dtype)."""
+        outs = {}
+        for name, extra in (("plain", []), ("table", ["--device_features"])):
+            out = tmp_path / name
+            acc = pmr_main([
+                "--do_test", "--tiny", "--limit", "6",
+                "--test_file", PMR_VAL,
+                "--img_feat_file", feature_pickle,
+                "--output_dir", str(out),
+                *extra,
+            ])
+            preds = [
+                json.loads(l)["prediction"]
+                for l in open(out / "result_test_ModICR_pmr.json")
+            ]
+            outs[name] = (acc, preds)
+        assert outs["plain"] == outs["table"]
+
+    def test_device_features_from_mcrpack(self, feature_pickle, tmp_path):
+        """The table builds straight off the native FeatureStore."""
+        from multimodal_context_reasoning_tpu.cli.pack_features import (
+            main as pack_main,
+        )
+
+        pack = tmp_path / "f.mcrpack"
+        pack_main(["--pickle", feature_pickle, "--out", str(pack)])
+        out = tmp_path / "out_table_pack"
+        acc = pmr_main([
+            "--do_test", "--tiny", "--limit", "6",
+            "--test_file", PMR_VAL,
+            "--img_feat_file", str(pack),
+            "--output_dir", str(out),
+            "--device_features",
+        ])
+        assert 0.0 <= acc <= 1.0

@@ -112,15 +112,30 @@ class TestDeviceTable:
                     jax.random.PRNGKey(1))
         assert np.isfinite(float(m["loss"]))
 
-    def test_multihost_lift_rejects_table_batches(self, setup):
+    def test_multihost_lift_replicates_table(self, setup):
+        """global_batch lifts table keys replicated (cached — the table
+        ships once, not per step), rows sharded over 'data', and the
+        lifted batch scores identically."""
         from multimodal_context_reasoning_tpu.parallel.mesh import make_mesh
         from multimodal_context_reasoning_tpu.parallel.multihost import (
             global_batch,
         )
 
         cfg, model, params, mk, table, host_b, dev_b = setup
-        with pytest.raises(ValueError, match="single-host"):
-            global_batch(dev_b, make_mesh((len(jax.devices()), 1)))
+        mesh = make_mesh((len(jax.devices()), 1))
+        g1 = global_batch(dev_b, mesh)
+        g2 = global_batch(mk(table).batch(range(2)), mesh)
+        assert g1["feat_table"].sharding.is_fully_replicated
+        assert g1["feat_table"] is g2["feat_table"]  # cached lift
+        assert "data" in (g1["img_row"].sharding.spec or ())
+        a = make_eval_step(model)(
+            params, {k: jnp.asarray(v) for k, v in dev_b.items()}
+        )
+        b = make_eval_step(model, mesh=mesh)(params, g1)
+        np.testing.assert_allclose(
+            np.asarray(a["logits"]), np.asarray(b["logits"]),
+            rtol=1e-6, atol=1e-6,
+        )
 
     def test_row_for_reference_key_quirk(self, setup):
         cfg, model, params, mk, table, host_b, dev_b = setup

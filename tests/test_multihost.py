@@ -117,6 +117,7 @@ def test_two_process_train_step(tmp_path):
 TRAINER_WORKER = textwrap.dedent("""
     import os, sys
     rank = int(sys.argv[1]); port = sys.argv[2]
+    mode = sys.argv[3] if len(sys.argv) > 3 else "host"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     sys.path.insert(0, {repo!r})
@@ -161,6 +162,18 @@ TRAINER_WORKER = textwrap.dedent("""
         HashTokenizer(vocab_size=cfg.roberta.vocab_size),
         spec=batch_spec(cfg), max_chunks=cfg.max_chunks,
     )
+    if mode == "table":
+        # device-resident feature table: every process builds the SAME
+        # table (sorted keys over the same feats dict); batches carry
+        # int32 img_row and the lift replicates the table once
+        # (parallel/multihost.py::_lift_replicated).  fp32 so the loss is
+        # bit-identical to host mode.
+        from multimodal_context_reasoning_tpu.data.device_table import (
+            DeviceFeatureTable,
+        )
+        ds.use_device_table(
+            DeviceFeatureTable(feats, img_len=cfg.img_len, dtype="float32")
+        )
     # each process iterates ITS shard: 4 local examples, local batch 2
     train_dl = DataLoader(ds, 2, shuffle=True, seed=7, drop_last=True,
                           shard=(rank, 2))
@@ -179,12 +192,20 @@ TRAINER_WORKER = textwrap.dedent("""
 """).format(repo="/root/repo")
 
 
+# best-acc per mode, filled as the parametrized fits complete — the table
+# mode must reproduce host mode bit-exactly (fp32 table, same batches)
+_fit_results: dict = {}
+
+
 @pytest.mark.slow
-def test_two_process_trainer_fit(tmp_path):
+@pytest.mark.parametrize("mode", ["host", "table"])
+def test_two_process_trainer_fit(tmp_path, mode):
     """Trainer.fit across two REAL processes: sharded DataLoaders feed
     local halves, parallel/multihost lifts them to global arrays, metric
     drains read replicated outputs, and mid-epoch eval runs sharded —
-    both ranks must agree on steps and the eval accuracy."""
+    both ranks must agree on steps and the eval accuracy.  mode="table"
+    re-runs the fit with the device-resident feature table (replicated
+    lift) and must match host mode exactly."""
     try:
         open("/root/reference/pmr_data/val-ori.jsonl").close()
     except FileNotFoundError:
@@ -201,7 +222,7 @@ def test_two_process_trainer_fit(tmp_path):
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(r), str(port)],
+            [sys.executable, str(script), str(r), str(port), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
@@ -225,3 +246,8 @@ def test_two_process_trainer_fit(tmp_path):
     assert all("steps=2" in l for l in lines), lines
     accs = [float(l.split("best=")[1]) for l in lines]
     assert accs[0] == pytest.approx(accs[1], abs=1e-6)
+    _fit_results[mode] = accs[0]
+    if len(_fit_results) == 2:
+        assert _fit_results["table"] == pytest.approx(
+            _fit_results["host"], abs=1e-6
+        ), _fit_results

@@ -522,3 +522,98 @@ class TestShardedScorer:
                 scorer._ds.roberta, scorer.features,
                 micro_batch=1, mesh=make_mesh((8, 1)), warm=False,
             )
+
+
+class TestDeviceTableScorer:
+    def test_table_mode_matches_plain(self, scorer):
+        """use_device_table: requests ship int32 ids, the forward gathers
+        from the HBM-resident table — logits identical (fp32 table at the
+        tiny config's fp32 compute dtype)."""
+        from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
+
+        tabled = ModCRScorer(
+            scorer.config, scorer.params, scorer._ds.bert,
+            scorer._ds.roberta, scorer.features,
+            micro_batch=2, use_device_table=True,
+        )
+        assert tabled.table is not None
+        feat = tabled.featurize(_example(1))
+        assert isinstance(feat[1], int)  # image leg is a row id now
+        exs = [_example(i) for i in range(3)]
+        a = scorer.score(exs)
+        b = tabled.score(exs)
+        for ra, rb in zip(a, b):
+            assert ra["prediction"] == rb["prediction"]
+            np.testing.assert_allclose(
+                ra["logits"], rb["logits"], rtol=1e-6, atol=1e-6
+            )
+
+    def test_table_mode_on_mesh(self, scorer):
+        """Table replicates across the mesh once; rows shard over data."""
+        from multimodal_context_reasoning_tpu.parallel.mesh import make_mesh
+        from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        tabled = ModCRScorer(
+            scorer.config, scorer.params, scorer._ds.bert,
+            scorer._ds.roberta, scorer.features,
+            micro_batch=2, mesh=make_mesh((4, 2)), use_device_table=True,
+        )
+        assert tabled.table.table.sharding.is_fully_replicated
+        exs = [_example(i) for i in range(3)]
+        a = scorer.score(exs)
+        b = tabled.score(exs)
+        for ra, rb in zip(a, b):
+            np.testing.assert_allclose(
+                ra["logits"], rb["logits"], rtol=2e-4, atol=2e-4
+            )
+
+    def test_microbatcher_with_table_scorer(self, scorer):
+        """The batcher passes featurized tuples opaquely — table mode must
+        coalesce and score identically through it."""
+        from multimodal_context_reasoning_tpu.serving.batcher import MicroBatcher
+        from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
+
+        tabled = ModCRScorer(
+            scorer.config, scorer.params, scorer._ds.bert,
+            scorer._ds.roberta, scorer.features,
+            micro_batch=2, use_device_table=True,
+        )
+        mb = MicroBatcher(tabled, max_wait_ms=5.0)
+        try:
+            exs = [_example(i) for i in range(3)]
+            a = scorer.score(exs)
+            b = mb.score(exs)
+            for ra, rb in zip(a, b):
+                np.testing.assert_allclose(
+                    ra["logits"], rb["logits"], rtol=1e-6, atol=1e-6
+                )
+        finally:
+            mb.close()
+
+    def test_mapping_protocol_source(self, scorer):
+        """Table mode works with any keys()+__getitem__ mapping — the
+        contract the native FeatureStore exposes."""
+        from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
+
+        class StoreLike:  # FeatureStore shape: no .items()
+            def __init__(self, d):
+                self._d = d
+
+            def keys(self):
+                return self._d.keys()
+
+            def __getitem__(self, k):
+                return self._d[k]
+
+        tabled = ModCRScorer(
+            scorer.config, scorer.params, scorer._ds.bert,
+            scorer._ds.roberta, StoreLike(scorer.features),
+            micro_batch=2, use_device_table=True, warm=False,
+        )
+        a = scorer.score([_example(0)])
+        b = tabled.score([_example(0)])
+        np.testing.assert_allclose(
+            a[0]["logits"], b[0]["logits"], rtol=1e-6, atol=1e-6
+        )
