@@ -112,14 +112,11 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
             DeviceFeatureTable,
         )
 
-        # table dtype follows the compute dtype (the forward casts
-        # features there anyway); works off a dict or the native
-        # FeatureStore (keys + __getitem__)
-        device_table = DeviceFeatureTable(
-            feats, img_len=cfg.img_len,
-            dtype="bfloat16"
-            if cfg.global_encoder.dtype == "bfloat16" else "float32",
-        )
+        # works off a dict or the native FeatureStore (keys + __getitem__)
+        device_table = DeviceFeatureTable.for_config(feats, cfg)
+        if mesh is not None and jax.process_count() == 1:
+            # replicate once; multi-host runs lift through global_batch
+            device_table.place(mesh)
         logger.info(
             "device feature table resident: %d images, %.1f MB HBM",
             len(device_table.row), device_table.nbytes / 1e6,

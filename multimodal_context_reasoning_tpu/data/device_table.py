@@ -27,6 +27,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+# Batch keys whose leading axis is the image id, not the example row.
+# Single source of truth — parallel/partition.py replicates them under a
+# mesh, parallel/multihost.py lifts them replicated, train/step.py pops
+# them for the in-program gather.
+TABLE_KEYS = ("feat_table", "feat_mask_table")
+
 
 class DeviceFeatureTable:
     def __init__(
@@ -38,20 +44,54 @@ class DeviceFeatureTable:
         dtype: str = "bfloat16",
     ):
         keys = sorted(image_features.keys())
+        if not keys:
+            raise ValueError(
+                "DeviceFeatureTable needs at least one image feature "
+                "(empty mapping — wrong/mis-filtered feature file?)"
+            )
         self.row = {k: i for i, k in enumerate(keys)}
         n = len(keys)
-        first = image_features[keys[0]]
-        feat_dim = first.features.shape[-1]
-        table = np.zeros((n, img_len, feat_dim), np.float32)
+        table = None
         mask = np.zeros((n, img_len), np.float32)
         for i, k in enumerate(keys):
             img = image_features[k]
+            if table is None:
+                table = np.zeros(
+                    (n, img_len, img.features.shape[-1]), np.float32
+                )
             r = min(img.num_regions, img_len)
             table[i, :r] = img.features[:r]
             mask[i, :r] = 1.0
         jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.dtype(dtype)
         self.table = jnp.asarray(table, jdt)       # [n, I, F] resident
         self.mask = jnp.asarray(mask, jnp.float32)  # [n, I]
+
+    @classmethod
+    def for_config(cls, image_features, cfg) -> "DeviceFeatureTable":
+        """Build with geometry + dtype derived from a ``ModCRConfig`` —
+        the table dtype must follow the compute dtype (the forward casts
+        features there anyway; a bf16 table under fp32 compute would
+        silently round the features)."""
+        return cls(
+            image_features,
+            img_len=cfg.img_len,
+            dtype="bfloat16"
+            if cfg.global_encoder.dtype == "bfloat16" else "float32",
+        )
+
+    def place(self, mesh) -> None:
+        """One-time replicated placement across a single-process mesh.
+
+        Without this, a jitted step whose in_shardings pin the table to
+        ``P()`` would re-broadcast the (large, uncommitted) array every
+        call.  Multi-host runs use parallel/multihost.py instead."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        import jax
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        self.table = jax.device_put(self.table, rep)
+        self.mask = jax.device_put(self.mask, rep)
 
     def row_for(self, img_id: str) -> int:
         key = str(img_id)

@@ -24,25 +24,36 @@ import jax
 from jax.sharding import Mesh, PartitionSpec
 
 # Batch keys whose leading axis is the image id, not the example row — the
-# device-resident feature table (data/device_table.py).  These must lift
-# REPLICATED (every host builds the identical table: DeviceFeatureTable
-# sorts its keys, so same features dict → same array), while the rest of
-# the batch row-shards over ``axis``.
-_TABLE_KEYS: Tuple[str, ...] = ("feat_table", "feat_mask_table")
+# device-resident feature table.  These must lift REPLICATED (every host
+# builds the identical table: DeviceFeatureTable sorts its keys, so same
+# features dict → same array), while the rest of the batch row-shards over
+# ``axis``.  Single source of truth: data/device_table.py.
+from multimodal_context_reasoning_tpu.data.device_table import (
+    TABLE_KEYS as _TABLE_KEYS,
+)
 
 # id(local array) → (src ref, mesh ref, lifted global array).  The source
 # refs keep the ids stable; the table is the loop's largest array and every
-# batch carries the SAME buffer, so the lift must happen once, not per step.
-_replicated_cache: Dict[int, Tuple[Any, Mesh, jax.Array]] = {}
+# batch carries the SAME buffer, so the lift must happen once, not per
+# step.  Bounded FIFO: an evicted still-live table only costs a re-lift.
+_replicated_cache: "collections.OrderedDict[int, Tuple[Any, Mesh, jax.Array]]" = (
+    __import__("collections").OrderedDict()
+)
+_REPLICATED_CACHE_MAX = 8
 
 
 def _lift_replicated(x, mesh: Mesh, name: str) -> jax.Array:
     """Host-identical array → fully-replicated global array (cached).
 
-    Cheap cross-host agreement check: the table's checksum is allgathered
-    and compared — divergent per-host tables would otherwise be silently
-    wrong (each device reads its own host's copy under a replicated spec).
+    Cross-host agreement check: a position-sensitive digest (CRC32 over
+    the raw bytes + shape) is allgathered and compared — divergent
+    per-host tables would otherwise be silently wrong (each device reads
+    its own host's copy under a replicated spec), and a permutation-
+    invariant sum would miss the likeliest divergence (same features,
+    different key order → rows permuted).
     """
+    import zlib
+
     from jax.experimental import multihost_utils
 
     hit = _replicated_cache.get(id(x))
@@ -50,20 +61,22 @@ def _lift_replicated(x, mesh: Mesh, name: str) -> jax.Array:
         return hit[2]
     local = np.asarray(x)
     digest = np.asarray(
-        [np.float64(np.sum(np.asarray(local, np.float32))), *local.shape],
+        [zlib.crc32(np.ascontiguousarray(local).tobytes()), *local.shape],
         np.float64,
     )
     digests = multihost_utils.process_allgather(digest)
     if not np.all(digests == digests[0]):
         raise ValueError(
             f"device-table batch key {name!r} differs across hosts "
-            f"(checksums {digests.tolist()}); every process must build its "
+            f"(digests {digests.tolist()}); every process must build its "
             "DeviceFeatureTable from the same image-feature dict"
         )
     glob = multihost_utils.host_local_array_to_global_array(
         local, mesh, PartitionSpec()
     )
     _replicated_cache[id(x)] = (x, mesh, glob)
+    while len(_replicated_cache) > _REPLICATED_CACHE_MAX:
+        _replicated_cache.popitem(last=False)
     return glob
 
 

@@ -67,7 +67,9 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
 # batch keys whose leading axis is NOT the example/row axis — the
 # device-resident feature table (data/device_table.py) is indexed by
 # image id and must replicate, not row-shard
-_REPLICATED_BATCH_KEYS = frozenset({"feat_table", "feat_mask_table"})
+from multimodal_context_reasoning_tpu.data.device_table import TABLE_KEYS
+
+_REPLICATED_BATCH_KEYS = frozenset(TABLE_KEYS)
 
 
 def batch_shardings(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:

@@ -91,19 +91,10 @@ class ModCRScorer:
 
             # works with a dict OR the native FeatureStore — the table
             # builder only needs keys() + __getitem__ (one mmap read per
-            # image, once).  Table dtype follows the compute dtype: bf16
-            # halves HBM and is what the forward casts features to anyway.
-            self.table = DeviceFeatureTable(
-                image_features, img_len=config.img_len,
-                dtype="bfloat16"
-                if config.global_encoder.dtype == "bfloat16" else "float32",
-            )
+            # image, once)
+            self.table = DeviceFeatureTable.for_config(image_features, config)
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                rep = NamedSharding(mesh, PartitionSpec())
-                self.table.table = jax.device_put(self.table.table, rep)
-                self.table.mask = jax.device_put(self.table.mask, rep)
+                self.table.place(mesh)  # replicated once, not per call
         model = ModCRModel(config)
         from multimodal_context_reasoning_tpu.train.step import _model_inputs
 

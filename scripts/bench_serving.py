@@ -78,6 +78,9 @@ def main():
     p.add_argument("--micro_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=10.0)
     p.add_argument("--port", type=int, default=8491)
+    p.add_argument("--device_features", action="store_true",
+                   help="HBM-resident feature table: requests ship int32 "
+                        "ids, not [I, F] floats (data/device_table.py)")
     args = p.parse_args()
 
     import jax
@@ -135,7 +138,8 @@ def main():
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in sample.items()})
     scorer = ModCRScorer(cfg, params, bert, rob, feats,
-                         micro_batch=args.micro_batch, warm=True)
+                         micro_batch=args.micro_batch, warm=True,
+                         use_device_table=args.device_features)
 
     results = {}
     for mode, batching in (("locked", False), ("batched", True)):

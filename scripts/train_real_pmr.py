@@ -226,7 +226,9 @@ def main(argv=None):
             DeviceFeatureTable,
         )
 
-        table = DeviceFeatureTable(feats, img_len=cfg.img_len)
+        # for_config keeps the table dtype == compute dtype (a bf16 table
+        # under fp32 compute would silently round the features)
+        table = DeviceFeatureTable.for_config(feats, cfg)
         logger.info("device feature table resident: %d images, %.1f MB",
                     len(table.row), table.nbytes / 1e6)
 

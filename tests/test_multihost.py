@@ -192,20 +192,9 @@ TRAINER_WORKER = textwrap.dedent("""
 """).format(repo="/root/repo")
 
 
-# best-acc per mode, filled as the parametrized fits complete — the table
-# mode must reproduce host mode bit-exactly (fp32 table, same batches)
-_fit_results: dict = {}
-
-
-@pytest.mark.slow
-@pytest.mark.parametrize("mode", ["host", "table"])
-def test_two_process_trainer_fit(tmp_path, mode):
-    """Trainer.fit across two REAL processes: sharded DataLoaders feed
-    local halves, parallel/multihost lifts them to global arrays, metric
-    drains read replicated outputs, and mid-epoch eval runs sharded —
-    both ranks must agree on steps and the eval accuracy.  mode="table"
-    re-runs the fit with the device-resident feature table (replicated
-    lift) and must match host mode exactly."""
+def _run_two_process_fit(tmp_path, mode: str):
+    """Run Trainer.fit across two REAL processes in ``mode`` and return
+    (per-rank steps lines, per-rank best accs)."""
     try:
         open("/root/reference/pmr_data/val-ori.jsonl").close()
     except FileNotFoundError:
@@ -213,7 +202,7 @@ def test_two_process_trainer_fit(tmp_path, mode):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
-    script = tmp_path / "trainer_worker.py"
+    script = tmp_path / f"trainer_worker_{mode}.py"
     script.write_text(TRAINER_WORKER)
     env = {
         k: v for k, v in __import__("os").environ.items()
@@ -242,12 +231,24 @@ def test_two_process_trainer_fit(tmp_path, mode):
         [l for l in out.splitlines() if l.startswith("RANK")][-1]
         for out in outs
     ]
-    # 4 local examples / local batch 2 → 2 steps; identical on both ranks
-    assert all("steps=2" in l for l in lines), lines
-    accs = [float(l.split("best=")[1]) for l in lines]
-    assert accs[0] == pytest.approx(accs[1], abs=1e-6)
-    _fit_results[mode] = accs[0]
-    if len(_fit_results) == 2:
-        assert _fit_results["table"] == pytest.approx(
-            _fit_results["host"], abs=1e-6
-        ), _fit_results
+    return lines, [float(l.split("best=")[1]) for l in lines]
+
+
+@pytest.mark.slow
+def test_two_process_trainer_fit_host_vs_device_table(tmp_path):
+    """Trainer.fit across two REAL processes: sharded DataLoaders feed
+    local halves, parallel/multihost lifts them to global arrays, metric
+    drains read replicated outputs, and mid-epoch eval runs sharded —
+    both ranks must agree on steps and the eval accuracy, and the
+    device-table mode (replicated table lift) must reproduce host mode
+    bit-exactly (fp32 table, same batches)."""
+    results = {}
+    for mode in ("host", "table"):
+        lines, accs = _run_two_process_fit(tmp_path, mode)
+        # 4 local examples / local batch 2 → 2 steps; identical per rank
+        assert all("steps=2" in l for l in lines), (mode, lines)
+        assert accs[0] == pytest.approx(accs[1], abs=1e-6), (mode, accs)
+        results[mode] = accs[0]
+    assert results["table"] == pytest.approx(
+        results["host"], abs=1e-6
+    ), results
