@@ -9,6 +9,9 @@ POST /generate — same body, served by a :class:`RationaleGenerator`
                  "prediction"/"probs" plus "rationale_ids" (and
                  "rationale_text" when the GPT tokenizer can decode).
 GET  /healthz  — liveness.
+GET  /stats    — operational telemetry: request/example counts, recent
+                 request-latency percentiles, and the batcher's device-
+                 dispatch sizes (mean batch ≈ batching efficiency).
 
 Requests are scored through the AOT-compiled :class:`ModCRScorer` via a
 cross-request :class:`MicroBatcher` (serving/batcher.py): concurrent
@@ -20,8 +23,10 @@ lock (the round-2 design, kept available with ``batching=False``).
 
 from __future__ import annotations
 
+import collections
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -30,7 +35,52 @@ from multimodal_context_reasoning_tpu.serving.batcher import MicroBatcher
 from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
 
 
-def _make_handler(score_fn, generate_fn=None):
+class ServerStats:
+    """Thread-safe request telemetry (bounded — no unbounded growth on a
+    long-lived server)."""
+
+    def __init__(self, batcher: Optional[MicroBatcher] = None):
+        self._lock = threading.Lock()
+        self._batcher = batcher
+        self.requests = 0
+        self.examples = 0
+        self.errors = 0
+        self._lat = collections.deque(maxlen=4096)  # seconds, recent window
+
+    def record(self, n_examples: int, seconds: float) -> None:
+        with self._lock:
+            self.requests += 1
+            self.examples += n_examples
+            self._lat.append(seconds)
+
+    def record_error(self) -> None:
+        with self._lock:
+            self.errors += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            out = {
+                "requests": self.requests,
+                "examples": self.examples,
+                "errors": self.errors,
+            }
+        if lat:
+            out["latency_ms"] = {
+                "p50": round(1e3 * lat[len(lat) // 2], 1),
+                "p90": round(1e3 * lat[int(len(lat) * 0.9)], 1),
+                "max": round(1e3 * lat[-1], 1),
+                "window": len(lat),
+            }
+        if self._batcher is not None:
+            sizes = list(self._batcher.dispatch_sizes)
+            if sizes:
+                out["device_dispatches"] = len(sizes)
+                out["mean_device_batch"] = round(sum(sizes) / len(sizes), 2)
+        return out
+
+
+def _make_handler(score_fn, generate_fn=None, stats: Optional[ServerStats] = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -46,6 +96,8 @@ def _make_handler(score_fn, generate_fn=None):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok"})
+            elif self.path == "/stats" and stats is not None:
+                self._reply(200, stats.snapshot())
             else:
                 self._reply(404, {"error": "not found"})
 
@@ -67,6 +119,8 @@ def _make_handler(score_fn, generate_fn=None):
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 raw = payload.get("examples", [])
                 if not raw:
+                    if stats is not None:
+                        stats.record_error()
                     self._reply(400, {"error": "no examples"})
                     return
                 examples = [
@@ -79,11 +133,18 @@ def _make_handler(score_fn, generate_fn=None):
                     )
                     for i, d in enumerate(raw)
                 ]
+                t0 = time.perf_counter()
                 results = handler(examples)
+                if stats is not None:
+                    stats.record(len(examples), time.perf_counter() - t0)
                 self._reply(200, {"results": results})
             except KeyError as e:
+                if stats is not None:
+                    stats.record_error()
                 self._reply(400, {"error": f"missing field {e}"})
             except Exception as e:  # surface, don't crash the server
+                if stats is not None:
+                    stats.record_error()
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
@@ -121,10 +182,12 @@ def serve(
             with gen_lock:
                 return generator.generate(examples)
 
+    stats = ServerStats(batcher if batching else None)
     server = ThreadingHTTPServer(
-        (host, port), _make_handler(score_fn, generate_fn)
+        (host, port), _make_handler(score_fn, generate_fn, stats)
     )
     server.modcr_batcher = batcher if batching else None
+    server.modcr_stats = stats
     if block:
         server.serve_forever()
         return None

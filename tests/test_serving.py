@@ -116,6 +116,17 @@ class TestServer:
                 assert False, "expected 400"
             except urllib.error.HTTPError as e:
                 assert e.code == 400
+
+            # operational telemetry: one scored request + one error so far
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats"
+            ) as r:
+                stats = json.load(r)
+            assert stats["requests"] == 1
+            assert stats["examples"] == 1
+            assert stats["errors"] == 1
+            assert stats["latency_ms"]["window"] == 1
+            assert stats["mean_device_batch"] >= 1.0
         finally:
             server.shutdown()
 
