@@ -202,3 +202,124 @@ class TestSurgery:
         assert out.shape == (13, 4)
         np.testing.assert_array_equal(out[:10], emb)
         assert np.abs(out[10:]).max() < 0.2  # small init
+
+
+class TestExportRoundTrip:
+    """interop/export.py: Flax params → reference Abstract_Specific state
+    dict → assemble back into a fresh tree must reproduce the original
+    exactly (and consume every exported key under strict accounting)."""
+
+    @pytest.fixture(scope="class")
+    def roundtrip(self):
+        from __graft_entry__ import _synthetic_batch
+        from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+        from multimodal_context_reasoning_tpu.interop.assemble import (
+            assemble_modcr_params,
+        )
+        from multimodal_context_reasoning_tpu.interop.export import (
+            export_modcr_state_dict,
+        )
+        from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+
+        cfg = ModCRConfig.tiny()
+        model = ModCRModel(cfg)
+        batch = _synthetic_batch(cfg, 1)
+        params = jax.tree.map(
+            np.asarray, jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+        )
+        sd = export_modcr_state_dict(params, cfg)
+        fresh = jax.tree.map(
+            np.asarray, jax.jit(model.init)(jax.random.PRNGKey(7), batch)
+        )
+        report = assemble_modcr_params(fresh, cfg, modcr_sd=sd, strict=True)
+        return cfg, params, sd, fresh, report
+
+    def test_every_exported_key_consumed(self, roundtrip):
+        cfg, params, sd, fresh, report = roundtrip
+        assert not report.unconsumed
+        # the exported dict carries no dead-head keys, so nothing to skip
+        # beyond the (absent) position-id buffers
+        assert not report.skipped
+
+    def test_tree_reproduced_exactly(self, roundtrip):
+        cfg, params, sd, fresh, report = roundtrip
+        flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+        flat_b = jax.tree_util.tree_flatten_with_path(fresh)[0]
+        assert len(flat_a) == len(flat_b)
+        for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+            assert ka == kb
+            assert np.array_equal(np.asarray(va), np.asarray(vb)), (
+                jax.tree_util.keystr(ka)
+            )
+
+    def test_torch_save_wrapper_roundtrip(self, roundtrip, tmp_path):
+        """save_reference_checkpoint writes the reference's {'net': ...}
+        torch.save form; load_torch_state_dict reads it back bit-exact."""
+        from multimodal_context_reasoning_tpu.interop.export import (
+            save_reference_checkpoint,
+        )
+        from multimodal_context_reasoning_tpu.interop.torch_bridge import (
+            load_torch_state_dict,
+        )
+
+        cfg, params, sd, fresh, report = roundtrip
+        path = str(tmp_path / "exported.pth")
+        save_reference_checkpoint(path, params, cfg)
+        back = load_torch_state_dict(path)
+        assert set(back) == set(sd)
+        for k in sd:
+            assert np.array_equal(back[k], sd[k]), k
+
+
+class TestExportCLI:
+    def test_export_cli_from_orbax_checkpoint(self, tmp_path):
+        """cli/export_reference: Orbax best-ckpt + config.json → the
+        reference's {'net': ...} .pth, re-graftable with strict
+        accounting."""
+        from __graft_entry__ import _synthetic_batch
+        from multimodal_context_reasoning_tpu.cli.export_reference import (
+            main as export_main,
+        )
+        from multimodal_context_reasoning_tpu.core.config import (
+            ModCRConfig, TrainConfig,
+        )
+        from multimodal_context_reasoning_tpu.interop.assemble import (
+            assemble_modcr_params,
+        )
+        from multimodal_context_reasoning_tpu.interop.torch_bridge import (
+            load_torch_state_dict,
+        )
+        from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+        from multimodal_context_reasoning_tpu.train.checkpoint import (
+            CheckpointManager, save_config,
+        )
+        from multimodal_context_reasoning_tpu.train.optim import make_optimizer
+        from multimodal_context_reasoning_tpu.train.state import TrainState
+
+        cfg = ModCRConfig.tiny()
+        model = ModCRModel(cfg)
+        batch = _synthetic_batch(cfg, 1)
+        params = jax.jit(model.init)(jax.random.PRNGKey(3), batch)
+        tx = make_optimizer(
+            TrainConfig(scheduler="constant", per_device_batch_size=1),
+            10, params,
+        )
+        state = TrainState.create(params, tx)
+        run_dir = tmp_path / "run"
+        mgr = CheckpointManager(str(run_dir / "ckpt"))
+        mgr.save(state, metrics={"accuracy": 0.5})
+        mgr.wait()
+        save_config(str(run_dir), "config.json", cfg)
+
+        out_pth = str(tmp_path / "exported.pth")
+        export_main(["--eval_model_dir", str(run_dir), "--out", out_pth])
+        sd = load_torch_state_dict(out_pth)
+        fresh = jax.tree.map(
+            np.asarray, jax.jit(model.init)(jax.random.PRNGKey(9), batch)
+        )
+        report = assemble_modcr_params(fresh, cfg, modcr_sd=sd, strict=True)
+        assert not report.unconsumed
+        np.testing.assert_array_equal(
+            np.asarray(fresh["params"]["abst_confidence_scorer"]["kernel"]),
+            np.asarray(params["params"]["abst_confidence_scorer"]["kernel"]),
+        )
