@@ -880,12 +880,43 @@ def composite_sides():
     report = assemble_modcr_params(params, cfg, modcr_sd=sd, strict=True)
     out = model.apply(params, batch, deterministic=True)
 
+    # ---- reciprocal direction (interop/export.py): export OUR params
+    # into the reference's literal composite and run ITS forward ----
+    from multimodal_context_reasoning_tpu.interop.export import (
+        export_modcr_state_dict,
+    )
+
+    params2 = jax.tree_util.tree_map(
+        np.asarray, jax.jit(model.init)(jax.random.PRNGKey(5), batch)
+    )
+    sd2 = export_modcr_state_dict(params2, cfg)
+    incompat = ref.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in sd2.items()},
+        strict=False,   # the dead heads keep fresh init (never read)
+    )
+    with torch.no_grad():
+        _, _, export_ref_logits = ref(
+            None, None,
+            t(x["r_ids"]), t(x["r_tt"]), t(x["r_mask"]),
+            t(x["input_ids"]), t(x["img_feat"]),
+            input_mask=input_mask, token_type_ids=t(x["token_type_ids"]),
+            offsets=[x["chunk_lists"]] * C_N,
+            chunk_attention_mask=t(x["dense"]).expand(C_N, C_T, C_T),
+            gather_index=[t(x["gi_interior"])] * C_N,
+            label=t(x["label"]),
+            align_pos=t(x["align_pos"]), total_label=t(x["total_label"]),
+        )
+    export_out = model.apply(params2, batch, deterministic=True)
+
     return {
         "ref_loss": float(ref_loss),
         "ref_abstract_loss": float(ref_aux[2]),
         "ref_logits": ref_logits.numpy(),
         "out": out,
         "report": report,
+        "export_unexpected": list(incompat.unexpected_keys),
+        "export_ref_logits": export_ref_logits.numpy(),
+        "export_out": export_out,
     }
 
 
@@ -916,3 +947,19 @@ class TestCompositeParity:
             assert k.startswith(dead_ok) or ".attention." in k \
                 or ".ensemble." in k or ".dense." in k \
                 or k.endswith("position_ids"), k
+
+    def test_exported_params_drive_the_reference_composite(
+        self, composite_sides
+    ):
+        """Reciprocal of the graft direction: OUR params exported through
+        interop/export.py, loaded into the reference's LITERAL
+        Abstract_Specific, must produce the same logits as ModCRModel —
+        the torch-deployment guarantee of the two-way bridge."""
+        s = composite_sides
+        # every exported key landed on a reference parameter (no renames
+        # or orphans)
+        assert not s["export_unexpected"], s["export_unexpected"]
+        np.testing.assert_allclose(
+            np.asarray(s["export_out"].logits), s["export_ref_logits"],
+            rtol=2e-3, atol=1e-3,
+        )
