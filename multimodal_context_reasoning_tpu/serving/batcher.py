@@ -12,6 +12,11 @@ replaces the lock with a batching queue:
   (:meth:`ModCRScorer.score_featurized`), and scatters results back
   through the futures.
 
+The "scorer" is duck-typed: anything exposing ``featurize(example)``,
+``score_featurized(feats, example_ids)`` and ``micro_batch`` works — the
+server batches :class:`RationaleGenerator` /generate requests through this
+same dispatcher.
+
 Under load the deadline never idles: while the device scores batch i the
 queue accumulates batch i+1, so throughput approaches
 ``micro_batch × single-stream rate`` while a lone request pays at most

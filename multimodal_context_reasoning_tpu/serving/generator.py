@@ -175,28 +175,43 @@ class RationaleGenerator:
         mb = self.micro_batch
         # chunk/pad contract mirrors ModCRScorer.score — change both together
         for ci, start in enumerate(range(0, len(examples), mb)):
-            out.extend(self._generate_chunk(
-                list(examples[start:start + mb]),
+            chunk = list(examples[start:start + mb])
+            out.extend(self.score_featurized(
+                [self.featurize(ex) for ex in chunk],
+                [ex.example_id for ex in chunk],
                 # sampling: decorrelate chunks within one request
                 rng=(jax.random.fold_in(rng, ci) if rng is not None else None),
             ))
         return out
 
-    def _generate_chunk(
-        self, examples: Sequence[RawExample], *, rng: Optional[jax.Array]
+    def featurize(self, ex: RawExample):
+        """Host-side featurization for one question — safe on any request
+        thread.  Same protocol as ModCRScorer.featurize, so the serving
+        MicroBatcher drives this generator unchanged."""
+        return self._ds.featurize(ex), self._ds.get_image(ex)
+
+    def score_featurized(
+        self,
+        feats: Sequence,
+        example_ids: Sequence[str],
+        *,
+        rng: Optional[jax.Array] = None,
     ) -> List[Dict]:
-        real = len(examples)
+        """One device call over up-to-micro_batch featurized questions
+        (the MicroBatcher entry point; sampling mode without ``rng``
+        auto-seeds per call)."""
+        real = len(feats)
         if real == 0:
             return []
         if real > self.micro_batch:
             raise ValueError(
                 f"{real} examples > micro_batch={self.micro_batch}"
             )
-        padded = list(examples) + [examples[-1]] * (self.micro_batch - real)
+        if self.mode != "greedy" and rng is None:
+            rng = jax.random.PRNGKey(next(self._auto_seed))
+        padded = list(feats) + [feats[-1]] * (self.micro_batch - real)
         batch = collate_candidates(
-            [self._ds.featurize(ex) for ex in padded],
-            [self._ds.get_image(ex) for ex in padded],
-            self.spec,
+            [f[0] for f in padded], [f[1] for f in padded], self.spec,
         )
         batch.pop("label", None)  # serving: gold row = model argmax
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -221,13 +236,13 @@ class RationaleGenerator:
         tokens = np.asarray(tokens)[:real]
         lengths = np.asarray(lengths)[:real]
         results = []
-        for ex, pr, tok, ln in zip(examples, probs, tokens, lengths):
+        for eid, pr, tok, ln in zip(example_ids, probs, tokens, lengths):
             ids = [int(t) for t in tok[: int(ln)]]
             if ids and ids[-1] == self._e_rtnl:
                 ids = ids[:-1]  # the stop marker is an internal sentinel,
                                 # not part of the user-facing rationale
             res = {
-                "example_id": ex.example_id,
+                "example_id": eid,
                 "prediction": int(np.argmax(pr)),
                 # per-candidate P(true) (binary_to_mp, v10.py:363-373) —
                 # independent binary heads, not a 4-way softmax

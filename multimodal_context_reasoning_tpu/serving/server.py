@@ -172,21 +172,28 @@ def serve(
                 return scorer.score(examples)
 
     generate_fn = None
+    gen_batcher = None
     if generator is not None:
-        # generation requests serialize on one lock (two chained device
-        # programs per call; cross-request batching is a /score-only
-        # optimization for now)
-        gen_lock = threading.Lock()
+        if batching:
+            # RationaleGenerator exposes the same featurize/
+            # score_featurized protocol as the scorer, so the MicroBatcher
+            # coalesces concurrent /generate requests too (up to the
+            # generator's compiled micro_batch)
+            gen_batcher = MicroBatcher(generator, max_wait_ms=max_wait_ms)
+            generate_fn = gen_batcher.score
+        else:
+            gen_lock = threading.Lock()
 
-        def generate_fn(examples):
-            with gen_lock:
-                return generator.generate(examples)
+            def generate_fn(examples):
+                with gen_lock:
+                    return generator.generate(examples)
 
     stats = ServerStats(batcher if batching else None)
     server = ThreadingHTTPServer(
         (host, port), _make_handler(score_fn, generate_fn, stats)
     )
     server.modcr_batcher = batcher if batching else None
+    server.modcr_gen_batcher = gen_batcher
     server.modcr_stats = stats
     if block:
         server.serve_forever()

@@ -628,3 +628,59 @@ class TestDeviceTableScorer:
         np.testing.assert_allclose(
             a[0]["logits"], b[0]["logits"], rtol=1e-6, atol=1e-6
         )
+
+
+class TestGenerateBatching:
+    def test_microbatcher_drives_generator(self, generator):
+        """The generator exposes the scorer's featurize/score_featurized
+        protocol — batched /generate must coalesce concurrent requests
+        and match direct generate() results (greedy: deterministic)."""
+        import threading
+
+        from multimodal_context_reasoning_tpu.serving.batcher import MicroBatcher
+
+        exs = [
+            RawExample(f"g{i}", f"img-{i % 4}", "two people talk .",
+                       ["hug .", "fight .", "leave .", "sing ."], None)
+            for i in range(4)
+        ]
+        direct = generator.generate(exs)
+        mb = MicroBatcher(generator, max_wait_ms=25.0)
+        try:
+            results = [None] * 4
+            def worker(i):
+                results[i] = mb.score([exs[i]])[0]
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert results == direct
+            # at least one device call carried >1 concurrent request
+            assert max(mb.dispatch_sizes) >= 2
+        finally:
+            mb.close()
+
+    def test_http_generate_batched_route(self, scorer, generator):
+        """serve(batching=True) now batches /generate too."""
+        server = serve(scorer, port=0, block=False, generator=generator,
+                       batching=True)
+        port = server.server_address[1]
+        try:
+            assert server.modcr_gen_batcher is not None
+            body = json.dumps({"examples": [{
+                "example_id": "hb1", "img_id": "img-2",
+                "premise": "two people talk .",
+                "answer_choices": ["hug .", "fight .", "leave .", "sing ."],
+            }]}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req) as r:
+                out = json.load(r)
+            res = out["results"][0]
+            assert res["example_id"] == "hb1"
+            assert "rationale_ids" in res
+        finally:
+            server.shutdown()
