@@ -355,6 +355,92 @@ def _graft_roberta(params, sd: _TrackedSD, cfg: ModCRConfig,
         merge_into(params, subtree, ("roberta", key))
 
 
+def assemble_rationale_params(
+    params: Dict[str, Any],
+    enc_cfg,
+    gpt2_cfg,
+    rationale_sd: StateDict,
+    *,
+    cls_layer_num: int = 3,
+    strict: bool = True,
+) -> AssembleReport:
+    """Graft a reference ``ChunkAlign_CLS_dec5_4`` checkpoint
+    (v10.py:1319-1494) into a :class:`RationaleModel` param tree, in place —
+    the rationale-family counterpart of :func:`assemble_modcr_params`
+    (feeds serving/generator.py from reference-trained weights).
+
+    Key space: ``global_enc.*`` / ``seq_enc.*`` (BertImgModel layouts,
+    edge_dense kept), ``cls_ensemble`` + ``classifier`` linears,
+    ``cls_layer.N.*`` (ClsLayer2: cls_q_proj/align_k_proj/dense +
+    LayerNorm/FFN), ``dec.*`` (vendored GPT-2 w/ cross-attention), and the
+    UNTIED ``lm_head`` (v10.py:1335).
+    """
+    import re
+
+    from multimodal_context_reasoning_tpu.interop.torch_bridge import (
+        convert_gpt2,
+    )
+
+    report = AssembleReport()
+    sd = _TrackedSD(rationale_sd)
+    _graft_encoder(params, sd.sub("global_enc."), "global_enc", enc_cfg)
+    seq = sd.sub("seq_enc.")
+    _graft_encoder(params, seq, "seq_enc", enc_cfg)
+    if "edge_dense.weight" in seq:
+        merge_into(params, {"edge_dense": seq["edge_dense.weight"]},
+                   ("seq_enc",))
+    merge_into(params, _lin(sd, "cls_ensemble."), ("cls_ensemble",))
+    merge_into(params, _lin(sd, "classifier."), ("classifier",))
+    for i in range(cls_layer_num):
+        p = f"cls_layer.{i}."
+        layer = {
+            "cls_q_proj": _lin(sd, p + "cls_q_proj."),
+            "align_k_proj": _lin(sd, p + "align_k_proj."),
+            "dense": _lin(sd, p + "dense."),
+            "layer_norm": _ln(sd, p + "LayerNorm."),
+            "ffn": {
+                "intermediate": _lin(sd, p + "intermediate.dense."),
+                "output": _lin(sd, p + "output.dense."),
+                "output_layer_norm": _ln(sd, p + "output.LayerNorm."),
+            },
+        }
+        merge_into(params, layer, (f"cls_layer_{i}",))
+    dec_tree = convert_gpt2(sd.sub("dec."), gpt2_cfg.n_layer)
+    dec_tree["lm_head"] = {
+        "kernel": np.ascontiguousarray(sd["lm_head.weight"].T)
+    }
+    merge_into(params, dec_tree, ("dec",))
+
+    # leftovers: GPT-2 registers causal-mask constants as state-dict
+    # buffers; ClsLayer2 carries the same dead BertLayer heads as the
+    # ensemble's lyx blocks
+    report.consumed |= sd.consumed
+    for key in sd:
+        full = sd.full_name(key)
+        if full in report.consumed:
+            continue
+        if re.search(r"dec\.h\.\d+\.(crossattention|attn)\."
+                     r"(bias|masked_bias)$", key):
+            report.skipped[full] = ("GPT-2 causal-mask buffer, not a "
+                                    "parameter (modeling_transfomres.py "
+                                    "Attention.register_buffer)")
+        elif re.match(r"cls_layer\.\d+\.attention\.", key):
+            report.skipped[full] = ("dead BertSelfAttention inside "
+                                    "ClsLayer2 — its forward reads only "
+                                    "cls_q_proj/align_k_proj/dense/"
+                                    "LayerNorm/FFN (v10.py:801-837)")
+        elif key.endswith("position_ids") or key == "position_ids":
+            report.skipped[full] = "HF position-id buffer (not a parameter)"
+        else:
+            report.unconsumed.add(full)
+    if strict and report.unconsumed:
+        raise KeyError(
+            "rationale checkpoint keys neither grafted nor known-dead:\n"
+            + "\n".join(f"  {k}" for k in sorted(report.unconsumed))
+        )
+    return report
+
+
 def assemble_from_files(
     params: Dict[str, Any],
     cfg: ModCRConfig,

@@ -146,6 +146,81 @@ def export_modcr_state_dict(params: Dict[str, Any], cfg: ModCRConfig) -> StateDi
     return out
 
 
+def _conv1d(out: StateDict, prefix: str, node: Dict[str, Any]) -> None:
+    """Flax Dense → vendored GPT-2 Conv1D (weights stored [in, out] — NO
+    transpose, unlike nn.Linear)."""
+    out[prefix + "weight"] = _np(node["kernel"])
+    out[prefix + "bias"] = _np(node["bias"])
+
+
+def export_rationale_state_dict(
+    params: Dict[str, Any], enc_cfg, gpt2_cfg, *, cls_layer_num: int = 3
+) -> StateDict:
+    """RationaleModel params → reference ``ChunkAlign_CLS_dec5_4`` state
+    dict (v10.py:1319-1494) — the inverse of
+    interop/assemble.py::assemble_rationale_params.  GPT-2 blocks restore
+    the vendored Conv1D layout (fused [in, 3D] c_attn; cross-attention
+    q_attn + [in, 2D] kv c_attn); the UNTIED lm_head goes back to
+    nn.Linear's [vocab, D]."""
+    root = params["params"] if "params" in params else params
+    out: StateDict = {}
+    _export_encoder(out, "global_enc.", root["global_enc"],
+                    enc_cfg.num_hidden_layers)
+    _export_encoder(out, "seq_enc.", root["seq_enc"],
+                    enc_cfg.num_hidden_layers)
+    if "edge_dense" in root["seq_enc"]:
+        out["seq_enc.edge_dense.weight"] = _np(root["seq_enc"]["edge_dense"])
+    _lin(out, "cls_ensemble.", root["cls_ensemble"])
+    _lin(out, "classifier.", root["classifier"])
+    for i in range(cls_layer_num):
+        layer = root[f"cls_layer_{i}"]
+        p = f"cls_layer.{i}."
+        _lin(out, p + "cls_q_proj.", layer["cls_q_proj"])
+        _lin(out, p + "align_k_proj.", layer["align_k_proj"])
+        _lin(out, p + "dense.", layer["dense"])
+        _ln(out, p + "LayerNorm.", layer["layer_norm"])
+        _lin(out, p + "intermediate.dense.", layer["ffn"]["intermediate"])
+        _lin(out, p + "output.dense.", layer["ffn"]["output"])
+        _ln(out, p + "output.LayerNorm.", layer["ffn"]["output_layer_norm"])
+
+    dec = root["dec"]
+    out["dec.wte.weight"] = _np(dec["wte"]["embedding"])
+    out["dec.wpe.weight"] = _np(dec["wpe"]["embedding"])
+    _ln(out, "dec.ln_f.", dec["ln_f"])
+    out["lm_head.weight"] = np.ascontiguousarray(
+        _np(dec["lm_head"]["kernel"]).T
+    )
+    for i in range(gpt2_cfg.n_layer):
+        blk = dec[f"block_{i}"]
+        p = f"dec.h.{i}."
+        _ln(out, p + "ln_1.", blk["ln_1"])
+        _ln(out, p + "ln_2.", blk["ln_2"])
+        att = blk["attn"]
+        out[p + "attn.c_attn.weight"] = np.concatenate(
+            [_np(att["q"]["kernel"]), _np(att["k"]["kernel"]),
+             _np(att["v"]["kernel"])], axis=1,
+        )
+        out[p + "attn.c_attn.bias"] = np.concatenate(
+            [_np(att["q"]["bias"]), _np(att["k"]["bias"]),
+             _np(att["v"]["bias"])]
+        )
+        _conv1d(out, p + "attn.c_proj.", att["out"])
+        _conv1d(out, p + "mlp.c_fc.", blk["mlp_c_fc"])
+        _conv1d(out, p + "mlp.c_proj.", blk["mlp_c_proj"])
+        if "crossattention" in blk:
+            ca = blk["crossattention"]
+            _conv1d(out, p + "crossattention.q_attn.", ca["q"])
+            out[p + "crossattention.c_attn.weight"] = np.concatenate(
+                [_np(ca["k"]["kernel"]), _np(ca["v"]["kernel"])], axis=1,
+            )
+            out[p + "crossattention.c_attn.bias"] = np.concatenate(
+                [_np(ca["k"]["bias"]), _np(ca["v"]["bias"])]
+            )
+            _conv1d(out, p + "crossattention.c_proj.", ca["out"])
+            _ln(out, p + "ln_cross_attn.", blk["ln_cross"])
+    return out
+
+
 def save_reference_checkpoint(
     path: str, params: Dict[str, Any], cfg: ModCRConfig
 ) -> None:

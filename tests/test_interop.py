@@ -323,3 +323,68 @@ class TestExportCLI:
             np.asarray(fresh["params"]["abst_confidence_scorer"]["kernel"]),
             np.asarray(params["params"]["abst_confidence_scorer"]["kernel"]),
         )
+
+
+class TestRationaleExportRoundTrip:
+    def test_rationale_export_then_assemble(self):
+        """export_rationale_state_dict inverts assemble_rationale_params:
+        a fresh tree grafted from the export reproduces the source
+        exactly (incl. the fused-qkv Conv1D re-assembly and the untied
+        lm_head transpose)."""
+        from multimodal_context_reasoning_tpu.core.config import (
+            ChunkAlignConfig, EncoderConfig, GPT2Config,
+        )
+        from multimodal_context_reasoning_tpu.interop.assemble import (
+            assemble_rationale_params,
+        )
+        from multimodal_context_reasoning_tpu.interop.export import (
+            export_rationale_state_dict,
+        )
+        from multimodal_context_reasoning_tpu.models.rationale import (
+            RationaleModel,
+        )
+
+        rng = np.random.default_rng(0)
+        enc = EncoderConfig(
+            vocab_size=64, hidden_size=16, num_hidden_layers=4,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=64, img_feature_dim=8,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        gpt = GPT2Config(
+            vocab_size=32, n_positions=32, n_embd=16, n_layer=2, n_head=2,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+            pad_token_id=0, add_cross_attention=True,
+        )
+        model = RationaleModel(
+            enc, ChunkAlignConfig(chunk_layers_end=1, full_layers_end=2),
+            gpt, num_labels=4, max_chunks=4,
+        )
+        B, T, I = 4, 10, 4
+        batch = {
+            "input_ids": jnp.asarray(rng.integers(2, 64, (B, T)), jnp.int32),
+            "text_mask": jnp.ones((B, T)),
+            "img_feat": jnp.asarray(rng.normal(size=(B, I, 8)), jnp.float32),
+            "img_mask": jnp.ones((B, I)),
+            "chunk_mask": jnp.ones((B, T, T)),
+            "gather_index": jnp.full((B, T), -1, jnp.int32),
+            "expl_ids": jnp.asarray(rng.integers(2, 32, (1, 6)), jnp.int32),
+            "expl_mask": jnp.ones((1, 6)),
+        }
+        params = jax.tree.map(
+            np.asarray, jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+        )
+        sd = export_rationale_state_dict(params, enc, gpt)
+        fresh = jax.tree.map(
+            np.asarray, jax.jit(model.init)(jax.random.PRNGKey(9), batch)
+        )
+        report = assemble_rationale_params(fresh, enc, gpt, sd, strict=True)
+        assert not report.unconsumed and not report.skipped
+        flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+        flat_b = jax.tree_util.tree_flatten_with_path(fresh)[0]
+        assert len(flat_a) == len(flat_b)
+        for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+            assert ka == kb
+            assert np.array_equal(np.asarray(va), np.asarray(vb)), (
+                jax.tree_util.keystr(ka)
+            )

@@ -600,45 +600,6 @@ class TestRationaleCompositeParity:
         )
 
         sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-        sub = lambda p: {k[len(p):]: v for k, v in sd.items()
-                         if k.startswith(p)}
-        tr = lambda w: np.ascontiguousarray(w.T)
-
-        def lin(prefix):
-            return {"kernel": tr(sd[prefix + ".weight"]),
-                    "bias": sd[prefix + ".bias"]}
-
-        def cls_layer(i):
-            p = f"cls_layer.{i}."
-            return {
-                "cls_q_proj": lin(p + "cls_q_proj"),
-                "align_k_proj": lin(p + "align_k_proj"),
-                "dense": lin(p + "dense"),
-                "layer_norm": {"scale": sd[p + "LayerNorm.weight"],
-                               "bias": sd[p + "LayerNorm.bias"]},
-                "ffn": {
-                    "intermediate": lin(p + "intermediate.dense"),
-                    "output": lin(p + "output.dense"),
-                    "output_layer_norm": {
-                        "scale": sd[p + "output.LayerNorm.weight"],
-                        "bias": sd[p + "output.LayerNorm.bias"],
-                    },
-                },
-            }
-
-        dec_tree = convert_gpt2(sub("dec."), GLAY)
-        dec_tree["lm_head"] = {"kernel": tr(sd["lm_head.weight"])}
-        params = {"params": {
-            "global_enc": convert_bert_encoder(sub("global_enc."), LAYERS),
-            "seq_enc": {
-                **convert_bert_encoder(sub("seq_enc."), LAYERS),
-                "edge_dense": sd["seq_enc.edge_dense.weight"],
-            },
-            "cls_ensemble": lin("cls_ensemble"),
-            "classifier": lin("classifier"),
-            "dec": dec_tree,
-            **{f"cls_layer_{i}": cls_layer(i) for i in range(3)},
-        }}
 
         batch = {
             "input_ids": jnp.asarray(x["input_ids"], jnp.int32),
@@ -660,6 +621,17 @@ class TestRationaleCompositeParity:
             "expl_mask": jnp.asarray(attn_rows[:1]),
             "gpt_labels": jnp.asarray(expl_rows[:1], jnp.int32),
         }
+        # graft through the importer (strict accounting: every reference
+        # key must land, be a known buffer, or raise)
+        from multimodal_context_reasoning_tpu.interop.assemble import (
+            assemble_rationale_params,
+        )
+
+        params = jax.tree_util.tree_map(
+            np.asarray, jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+        )
+        report = assemble_rationale_params(params, ecfg, gcfg, sd)
+        assert not report.unconsumed
         out = model.apply(params, batch, deterministic=True)
 
         assert abs(float(out.cls_loss) - float(ref_cls)) < 1e-3
