@@ -32,6 +32,18 @@ def main(argv=None):
                    help="keep the image-feature set resident in HBM; "
                         "requests ship int32 ids instead of [I, F] floats "
                         "(cuts per-request h2d; data/device_table.py)")
+    p.add_argument("--generate", action="store_true",
+                   help="also serve the rationale-generation family at "
+                        "POST /generate (classify + KV-cached decode)")
+    p.add_argument("--rationale_ckpt", default="",
+                   help="reference ChunkAlign_CLS_dec5_4 torch checkpoint "
+                        "for /generate (interop/assemble.py::"
+                        "assemble_rationale_params); random init if unset")
+    p.add_argument("--gpt_tokenizer_dir", default="",
+                   help="HF GPT-2 tokenizer dir for rationale decoding "
+                        "(hash fallback if unset)")
+    p.add_argument("--max_rationale_len", type=int, default=32)
+    p.add_argument("--gen_micro_batch", type=int, default=4)
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
 
@@ -98,9 +110,116 @@ def main(argv=None):
         params_dtype=args.params_dtype,
         use_device_table=args.device_features,
     )
+
+    generator = None
+    if args.generate:
+        generator = _build_generator(args, cfg, bert, feats)
     print(f"serving on http://{args.host}:{args.port} "
-          f"(micro_batch={args.micro_batch})", flush=True)
-    serve(scorer, args.host, args.port)
+          f"(micro_batch={args.micro_batch}"
+          f"{', /generate on' if generator else ''})", flush=True)
+    serve(scorer, args.host, args.port, generator=generator)
+
+
+def _build_generator(args, cfg, bert, feats):
+    """Rationale family for POST /generate: VCR-native classify tower +
+    GPT-2 cross-attention decoder; weights from a reference
+    ChunkAlign_CLS_dec5_4 checkpoint when given, random init otherwise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_context_reasoning_tpu.core.config import (
+        ChunkAlignConfig,
+        EncoderConfig,
+        GPT2Config,
+    )
+    from multimodal_context_reasoning_tpu.data.collate import BatchSpec
+    from multimodal_context_reasoning_tpu.data.tokenization import (
+        HashTokenizer,
+    )
+    from multimodal_context_reasoning_tpu.models.rationale import (
+        RationaleModel,
+    )
+    from multimodal_context_reasoning_tpu.serving.generator import (
+        RationaleGenerator,
+    )
+
+    dt = args.compute_dtype
+    if args.tiny:
+        enc = EncoderConfig(
+            vocab_size=cfg.global_encoder.vocab_size, hidden_size=32,
+            num_hidden_layers=4, num_attention_heads=4,
+            intermediate_size=64, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0, max_position_embeddings=128,
+            img_feature_dim=cfg.global_encoder.img_feature_dim, dtype=dt,
+        )
+        sched = ChunkAlignConfig(chunk_layers_end=1, full_layers_end=2)
+        gpt = GPT2Config(
+            vocab_size=128, n_positions=128, n_embd=32, n_layer=2,
+            n_head=4, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+            pad_token_id=0, dtype=dt,
+        )
+        max_chunks = cfg.max_chunks
+    else:
+        enc = EncoderConfig(dtype=dt)            # Oscar-base geometry
+        sched = ChunkAlignConfig()
+        gpt = GPT2Config(dtype=dt)               # GPT-2 124M geometry
+        max_chunks = 40
+    spec = BatchSpec(
+        text_len=cfg.text_len, img_len=cfg.img_len,
+        roberta_len=cfg.roberta_len,
+        img_feature_dim=enc.img_feature_dim,
+    )
+    if args.gpt_tokenizer_dir:
+        from transformers import AutoTokenizer
+
+        from multimodal_context_reasoning_tpu.data.tokenization import (
+            HFTokenizer,
+        )
+
+        gpt_tok = HFTokenizer(
+            AutoTokenizer.from_pretrained(args.gpt_tokenizer_dir)
+        )
+    else:
+        gpt_tok = HashTokenizer(vocab_size=gpt.vocab_size)
+
+    model = RationaleModel(enc, sched, gpt, max_chunks=max_chunks)
+    rng = np.random.default_rng(0)
+    B, T, I = 4, spec.text_len, spec.img_len
+    init_batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(4, enc.vocab_size, size=(B, T)), jnp.int32),
+        "text_mask": jnp.ones((B, T)),
+        "img_feat": jnp.asarray(
+            rng.normal(size=(B, I, enc.img_feature_dim)), jnp.float32),
+        "img_mask": jnp.ones((B, I)),
+        "chunk_mask": jnp.ones((B, T, T)),
+        "gather_index": jnp.full((B, T), -1, jnp.int32),
+        # the decoder branch must trace at init (no "dec" subtree without)
+        "expl_ids": jnp.asarray(
+            rng.integers(2, gpt.vocab_size, size=(1, 8)), jnp.int32),
+        "expl_mask": jnp.ones((1, 8)),
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), init_batch)
+    if args.rationale_ckpt:
+        from multimodal_context_reasoning_tpu.interop.assemble import (
+            assemble_rationale_params,
+        )
+        from multimodal_context_reasoning_tpu.interop.torch_bridge import (
+            load_torch_state_dict,
+        )
+
+        params = jax.tree_util.tree_map(np.asarray, params)
+        report = assemble_rationale_params(
+            params, enc, gpt, load_torch_state_dict(args.rationale_ckpt),
+        )
+        print(f"loaded rationale checkpoint: {report.summary()}", flush=True)
+    return RationaleGenerator(
+        enc, sched, gpt, params, bert, gpt_tok, feats,
+        spec=spec, max_chunks=max_chunks,
+        micro_batch=args.gen_micro_batch,
+        max_rationale_len=args.max_rationale_len,
+    )
 
 
 if __name__ == "__main__":

@@ -180,9 +180,10 @@ class TestServeCLI:
 
         captured = {}
 
-        def fake_serve(scorer, host, port):
+        def fake_serve(scorer, host, port, **kw):
             captured["scorer"] = scorer
             captured["addr"] = (host, port)
+            captured.update(kw)
 
         monkeypatch.setattr(
             "multimodal_context_reasoning_tpu.serving.server.serve",
@@ -684,3 +685,42 @@ class TestGenerateBatching:
             assert "rationale_ids" in res
         finally:
             server.shutdown()
+
+
+class TestServeCLIGenerate:
+    def test_generate_flag_builds_generator(self, tmp_path, monkeypatch):
+        """cli/serve --generate: tiny rationale stack built alongside the
+        scorer and handed to serve(); it must answer a generate() call."""
+        import pickle
+
+        from multimodal_context_reasoning_tpu.cli import serve as serve_cli
+
+        rng = np.random.default_rng(0)
+        feats = {
+            "img-1": {"features": rng.normal(size=(5, 20)).astype(np.float32)}
+        }
+        pkl = tmp_path / "f.pkl"
+        with open(pkl, "wb") as f:
+            pickle.dump(feats, f)
+
+        captured = {}
+
+        def fake_serve(scorer, host, port, **kw):
+            captured["scorer"] = scorer
+            captured.update(kw)
+
+        monkeypatch.setattr(
+            "multimodal_context_reasoning_tpu.serving.server.serve",
+            fake_serve,
+        )
+        serve_cli.main([
+            "--img_feat_file", str(pkl), "--tiny", "--micro_batch", "2",
+            "--generate", "--gen_micro_batch", "1",
+            "--max_rationale_len", "6", "--port", "9",
+        ])
+        gen = captured["generator"]
+        assert gen is not None
+        import dataclasses
+
+        res = gen.generate([dataclasses.replace(_example(0), img_id="img-1")])
+        assert len(res) == 1 and "rationale_ids" in res[0]
