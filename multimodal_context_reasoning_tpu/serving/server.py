@@ -195,8 +195,26 @@ def serve(
     server.modcr_batcher = batcher if batching else None
     server.modcr_gen_batcher = gen_batcher
     server.modcr_stats = stats
+
+    def modcr_close():
+        """Full teardown: stop accepting, then drain/close the batcher
+        dispatcher threads (shutdown() alone leaves them parked on their
+        queues — harmless for a process exit, a leak for in-process
+        restarts)."""
+        server.shutdown()
+        server.server_close()
+        for b in (server.modcr_batcher, server.modcr_gen_batcher):
+            if b is not None:
+                b.close()
+
+    server.modcr_close = modcr_close
     if block:
-        server.serve_forever()
+        try:
+            server.serve_forever()
+        finally:
+            for b in (batcher if batching else None, gen_batcher):
+                if b is not None:
+                    b.close()
         return None
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

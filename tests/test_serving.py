@@ -724,3 +724,18 @@ class TestServeCLIGenerate:
 
         res = gen.generate([dataclasses.replace(_example(0), img_id="img-1")])
         assert len(res) == 1 and "rationale_ids" in res[0]
+
+
+class TestServerClose:
+    def test_modcr_close_tears_down_batchers(self, scorer):
+        server = serve(scorer, port=0, block=False)
+        port = server.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert r.status == 200
+        b = server.modcr_batcher
+        assert b is not None and b._thread.is_alive()
+        server.modcr_close()
+        b._thread.join(timeout=5)
+        assert not b._thread.is_alive()
+        with pytest.raises(RuntimeError):
+            b.score([_example(0)])
