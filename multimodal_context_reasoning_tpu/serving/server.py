@@ -39,9 +39,14 @@ class ServerStats:
     """Thread-safe request telemetry (bounded — no unbounded growth on a
     long-lived server)."""
 
-    def __init__(self, batcher: Optional[MicroBatcher] = None):
+    def __init__(
+        self,
+        batcher: Optional[MicroBatcher] = None,
+        gen_batcher: Optional[MicroBatcher] = None,
+    ):
         self._lock = threading.Lock()
         self._batcher = batcher
+        self._gen_batcher = gen_batcher
         self.requests = 0
         self.examples = 0
         self.errors = 0
@@ -77,6 +82,13 @@ class ServerStats:
             if sizes:
                 out["device_dispatches"] = len(sizes)
                 out["mean_device_batch"] = round(sum(sizes) / len(sizes), 2)
+        if self._gen_batcher is not None:
+            sizes = list(self._gen_batcher.dispatch_sizes)
+            if sizes:
+                out["gen_device_dispatches"] = len(sizes)
+                out["gen_mean_device_batch"] = round(
+                    sum(sizes) / len(sizes), 2
+                )
         return out
 
 
@@ -188,7 +200,7 @@ def serve(
                 with gen_lock:
                     return generator.generate(examples)
 
-    stats = ServerStats(batcher if batching else None)
+    stats = ServerStats(batcher if batching else None, gen_batcher)
     server = ThreadingHTTPServer(
         (host, port), _make_handler(score_fn, generate_fn, stats)
     )
