@@ -37,9 +37,12 @@ PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     # FFN.
     (r".*/ffn/intermediate/kernel$", P(None, "model")),
     (r".*/ffn/output/kernel$", P("model", None)),
-    # GPT-2 decoder blocks (fused qkv is stored split — same rule names).
-    (r".*/mlp/(c_fc)/kernel$", P(None, "model")),
-    (r".*/mlp/(c_proj)/kernel$", P("model", None)),
+    # GPT-2 decoder blocks (models/gpt2.py: attn/crossattention q·k·v·out,
+    # mlp_c_fc/mlp_c_proj — flat names, no "mlp/" scope).
+    (r".*/(attn|crossattention)/(q|k|v)/kernel$", P(None, "model")),
+    (r".*/(attn|crossattention)/out/kernel$", P("model", None)),
+    (r".*/mlp_c_fc/kernel$", P(None, "model")),
+    (r".*/mlp_c_proj/kernel$", P("model", None)),
     # Embedding tables: replicate (vocab gathers are cheap at this scale).
     (r".*", P()),
 )

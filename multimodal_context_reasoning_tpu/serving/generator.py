@@ -79,6 +79,10 @@ class RationaleGenerator:
         max_rationale_len: int = 32,
         mode: str = "greedy",            # greedy | sample
         warm: bool = True,
+        mesh=None,                       # jax.sharding.Mesh ("data","model"):
+                                         # multi-chip generation — params by
+                                         # the TP rules, questions sharded
+                                         # over "data"
     ):
         if "dec" not in params.get("params", {}):
             raise ValueError(
@@ -87,9 +91,29 @@ class RationaleGenerator:
                 "GPT-2 decoder branch is traced (trained checkpoints "
                 "always carry it)"
             )
+        self.mesh = mesh
+        if mesh is not None:
+            from multimodal_context_reasoning_tpu.parallel.partition import (
+                param_shardings,
+            )
+
+            n_data = mesh.shape["data"]
+            # decode arrays are per-question [Q, ...], so Q itself must
+            # divide the data axis (classify rows Q·K then divide too)
+            if micro_batch % n_data:
+                raise ValueError(
+                    f"the mesh's data axis ({n_data}) must divide "
+                    f"micro_batch={micro_batch} questions — raise "
+                    f"micro_batch or shrink the data axis"
+                )
+            params = jax.device_put(params, param_shardings(params, mesh))
         self.params = params
         self.features = image_features
         self.micro_batch = micro_batch
+        # construction configs, kept for twins (e.g. a mesh-sharded copy)
+        self.encoder_config = encoder_config
+        self.schedule = schedule
+        self.max_chunks = max_chunks
         self._auto_seed = itertools.count()  # sample mode without rng
         self.max_rationale_len = max_rationale_len
         self.mode = mode
@@ -214,10 +238,28 @@ class RationaleGenerator:
             [f[0] for f in padded], [f[1] for f in padded], self.spec,
         )
         batch.pop("label", None)  # serving: gold row = model argmax
-        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         Q = self.micro_batch
-        prompt = jnp.full((Q, 1), self._b_rtnl, jnp.int32)
-        prompt_len = jnp.ones((Q,), jnp.int32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from multimodal_context_reasoning_tpu.parallel.partition import (
+                batch_shardings,
+            )
+
+            # straight to shards — jnp.asarray first would commit to
+            # device 0 and pay a redistribution transfer
+            device_batch = jax.device_put(
+                batch, batch_shardings(batch, self.mesh)
+            )
+            row = NamedSharding(self.mesh, PartitionSpec("data"))
+            prompt = jax.device_put(
+                np.full((Q, 1), self._b_rtnl, np.int32), row
+            )
+            prompt_len = jax.device_put(np.ones((Q,), np.int32), row)
+        else:
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            prompt = jnp.full((Q, 1), self._b_rtnl, jnp.int32)
+            prompt_len = jnp.ones((Q,), jnp.int32)
         if self.mode == "greedy":
             # one fused program: no readback between classify and decode
             probs, tokens, lengths = self._fused_greedy(

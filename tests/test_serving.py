@@ -739,3 +739,56 @@ class TestServerClose:
         assert not b._thread.is_alive()
         with pytest.raises(RuntimeError):
             b.score([_example(0)])
+
+
+class TestShardedGenerator:
+    def test_mesh_generator_matches_single_device(self, generator):
+        """Multi-chip /generate: params by the TP rules (incl. the GPT-2
+        attn/mlp rules), questions sharded over 'data' — greedy results
+        must equal the single-device generator's."""
+        from multimodal_context_reasoning_tpu.parallel.mesh import make_mesh
+        from multimodal_context_reasoning_tpu.serving.generator import (
+            RationaleGenerator,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        sharded = RationaleGenerator(
+            generator.encoder_config, generator.schedule,
+            generator._gpt2_cfg, generator.params,
+            generator._ds.bert, generator.gpt_tokenizer,
+            generator.features, spec=generator.spec,
+            max_chunks=generator.max_chunks,
+            micro_batch=2, max_rationale_len=generator.max_rationale_len,
+            mesh=make_mesh((2, 2), devices=jax.devices()[:4]),
+        )
+        exs = [
+            RawExample(f"m{i}", f"img-{i % 4}", "two people talk .",
+                       ["hug .", "fight .", "leave .", "sing ."], None)
+            for i in range(3)
+        ]
+        a = generator.generate(exs)
+        b = sharded.generate(exs)
+        for ra, rb in zip(a, b):
+            assert ra["example_id"] == rb["example_id"]
+            assert ra["rationale_ids"] == rb["rationale_ids"]
+            np.testing.assert_allclose(ra["probs"], rb["probs"],
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_question_divisibility_enforced(self, generator):
+        from multimodal_context_reasoning_tpu.parallel.mesh import make_mesh
+        from multimodal_context_reasoning_tpu.serving.generator import (
+            RationaleGenerator,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        with pytest.raises(ValueError, match="divide"):
+            RationaleGenerator(
+                generator.encoder_config, generator.schedule,
+                generator._gpt2_cfg, generator.params,
+                generator._ds.bert, generator.gpt_tokenizer,
+                generator.features, spec=generator.spec,
+                max_chunks=generator.max_chunks,
+                micro_batch=3, mesh=make_mesh((8, 1)), warm=False,
+            )
