@@ -170,6 +170,24 @@ def _build_generator(args, cfg, bert, feats):
         roberta_len=cfg.roberta_len,
         img_feature_dim=enc.img_feature_dim,
     )
+    sd = None
+    if args.rationale_ckpt:
+        from multimodal_context_reasoning_tpu.interop.torch_bridge import (
+            load_torch_state_dict,
+        )
+
+        sd = load_torch_state_dict(args.rationale_ckpt)
+        # the reference adds rationale-marker tokens to its GPT-2 vocab, so
+        # trained checkpoints carry resized embeddings — size the config to
+        # the checkpoint, not the other way around
+        import dataclasses as _dc
+
+        rows = sd["dec.wte.weight"].shape[0]
+        if rows != gpt.vocab_size:
+            print(f"sizing GPT-2 vocab to checkpoint: {gpt.vocab_size} -> "
+                  f"{rows}", flush=True)
+            gpt = _dc.replace(gpt, vocab_size=rows)
+
     if args.gpt_tokenizer_dir:
         from transformers import AutoTokenizer
 
@@ -177,8 +195,12 @@ def _build_generator(args, cfg, bert, feats):
             HFTokenizer,
         )
 
+        # no det tokens on the GPT side — they are BERT-stream vocabulary;
+        # the rationale markers must already be in this tokenizer (the
+        # generator validates their ids against gpt.vocab_size)
         gpt_tok = HFTokenizer(
-            AutoTokenizer.from_pretrained(args.gpt_tokenizer_dir)
+            AutoTokenizer.from_pretrained(args.gpt_tokenizer_dir),
+            add_det_tokens=False,
         )
     else:
         gpt_tok = HashTokenizer(vocab_size=gpt.vocab_size)
@@ -187,33 +209,40 @@ def _build_generator(args, cfg, bert, feats):
     rng = np.random.default_rng(0)
     B, T, I = 4, spec.text_len, spec.img_len
     init_batch = {
-        "input_ids": jnp.asarray(
-            rng.integers(4, enc.vocab_size, size=(B, T)), jnp.int32),
-        "text_mask": jnp.ones((B, T)),
-        "img_feat": jnp.asarray(
-            rng.normal(size=(B, I, enc.img_feature_dim)), jnp.float32),
-        "img_mask": jnp.ones((B, I)),
-        "chunk_mask": jnp.ones((B, T, T)),
-        "gather_index": jnp.full((B, T), -1, jnp.int32),
+        "input_ids": np.asarray(
+            rng.integers(4, enc.vocab_size, size=(B, T)), np.int32),
+        "text_mask": np.ones((B, T), np.float32),
+        "img_feat": rng.normal(size=(B, I, enc.img_feature_dim)).astype(
+            np.float32),
+        "img_mask": np.ones((B, I), np.float32),
+        "chunk_mask": np.ones((B, T, T), np.float32),
+        "gather_index": np.full((B, T), -1, np.int32),
         # the decoder branch must trace at init (no "dec" subtree without)
-        "expl_ids": jnp.asarray(
-            rng.integers(2, gpt.vocab_size, size=(1, 8)), jnp.int32),
-        "expl_mask": jnp.ones((1, 8)),
+        "expl_ids": np.asarray(
+            rng.integers(2, gpt.vocab_size, size=(1, 8)), np.int32),
+        "expl_mask": np.ones((1, 8), np.float32),
     }
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), init_batch)
-    if args.rationale_ckpt:
+    if sd is not None:
         from multimodal_context_reasoning_tpu.interop.assemble import (
             assemble_rationale_params,
         )
-        from multimodal_context_reasoning_tpu.interop.torch_bridge import (
-            load_torch_state_dict,
-        )
 
-        params = jax.tree_util.tree_map(np.asarray, params)
-        report = assemble_rationale_params(
-            params, enc, gpt, load_torch_state_dict(args.rationale_ckpt),
+        # the checkpoint covers the entire tree (round-trip-tested), so
+        # build a host-side template from SHAPES (eval_shape: no device
+        # work, no per-leaf tunnel fetches — CLAUDE.md trap) and graft
+        shapes = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0), init_batch
         )
+        params = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes
+        )
+        report = assemble_rationale_params(params, enc, gpt, sd)
         print(f"loaded rationale checkpoint: {report.summary()}", flush=True)
+    else:
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in init_batch.items()},
+        )
     return RationaleGenerator(
         enc, sched, gpt, params, bert, gpt_tok, feats,
         spec=spec, max_chunks=max_chunks,

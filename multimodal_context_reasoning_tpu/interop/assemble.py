@@ -136,8 +136,10 @@ class AssembleReport:
         return "\n".join(lines)
 
 
-def _finish(report: AssembleReport, sd: _TrackedSD, strict: bool) -> None:
-    """Classify leftovers: known-dead prefixes → skipped, rest → unconsumed."""
+def _finish(report: AssembleReport, sd: _TrackedSD, strict: bool,
+            extra=()) -> None:
+    """Classify leftovers: known-dead prefixes (plus the caller's ``extra``
+    ``(regex, reason)`` pairs) → skipped, rest → unconsumed."""
     import re
 
     report.consumed |= sd.consumed
@@ -146,9 +148,15 @@ def _finish(report: AssembleReport, sd: _TrackedSD, strict: bool) -> None:
         if full in report.consumed or full in report.skipped:
             continue
         reason = None
-        if key.endswith(".position_ids") or key == "position_ids":
+        for pattern, why in extra:
+            if re.search(pattern, key):
+                reason = why
+                break
+        if reason is None and (
+            key.endswith(".position_ids") or key == "position_ids"
+        ):
             reason = "HF position-id buffer (not a parameter)"
-        else:
+        if reason is None:
             for prefix, why in _KNOWN_DEAD:
                 if key.startswith(prefix):
                     reason = why
@@ -291,7 +299,7 @@ def assemble_modcr_params(
         sd = _TrackedSD(chunkalign_sd, consumed)
         if any(k.startswith("seq_enc.") for k in sd):
             sd = sd.sub("seq_enc.")             # run_PMR_ModCR.py:756-762
-        _graft_seq_encoder(params, sd, cfg)
+        _graft_seq_encoder(params, sd, cfg.seq_encoder)
         _finish(report, sd, strict)
 
     if roberta_sd is not None:
@@ -313,7 +321,7 @@ def assemble_modcr_params(
         if any(k.startswith("calec.") for k in sd):
             _graft_encoder(params, sd.sub("calec.global_enc."),
                            "global_enc", cfg.global_encoder)
-            _graft_seq_encoder(params, sd.sub("calec.seq_enc."), cfg)
+            _graft_seq_encoder(params, sd.sub("calec.seq_enc."), cfg.seq_encoder)
             _graft_fusion(params, sd, cfg)
         if any(k.startswith("roberta.") for k in sd):
             # fine-tuned reasoner inside the composite: keep its trained
@@ -326,8 +334,8 @@ def assemble_modcr_params(
     return report
 
 
-def _graft_seq_encoder(params, sd: _TrackedSD, cfg: ModCRConfig) -> None:
-    _graft_encoder(params, sd, "seq_enc", cfg.seq_encoder)
+def _graft_seq_encoder(params, sd: _TrackedSD, cfg_enc) -> None:
+    _graft_encoder(params, sd, "seq_enc", cfg_enc)
     # SeqBertImgModel's extra edge_dense embedding (v10.py:260) — unused by
     # forward but a real checkpoint key; keep it for round-trip fidelity.
     if "edge_dense.weight" in sd:
@@ -375,8 +383,6 @@ def assemble_rationale_params(
     LayerNorm/FFN), ``dec.*`` (vendored GPT-2 w/ cross-attention), and the
     UNTIED ``lm_head`` (v10.py:1335).
     """
-    import re
-
     from multimodal_context_reasoning_tpu.interop.torch_bridge import (
         convert_gpt2,
     )
@@ -384,11 +390,7 @@ def assemble_rationale_params(
     report = AssembleReport()
     sd = _TrackedSD(rationale_sd)
     _graft_encoder(params, sd.sub("global_enc."), "global_enc", enc_cfg)
-    seq = sd.sub("seq_enc.")
-    _graft_encoder(params, seq, "seq_enc", enc_cfg)
-    if "edge_dense.weight" in seq:
-        merge_into(params, {"edge_dense": seq["edge_dense.weight"]},
-                   ("seq_enc",))
+    _graft_seq_encoder(params, sd.sub("seq_enc."), enc_cfg)
     merge_into(params, _lin(sd, "cls_ensemble."), ("cls_ensemble",))
     merge_into(params, _lin(sd, "classifier."), ("classifier",))
     for i in range(cls_layer_num):
@@ -414,30 +416,15 @@ def assemble_rationale_params(
     # leftovers: GPT-2 registers causal-mask constants as state-dict
     # buffers; ClsLayer2 carries the same dead BertLayer heads as the
     # ensemble's lyx blocks
-    report.consumed |= sd.consumed
-    for key in sd:
-        full = sd.full_name(key)
-        if full in report.consumed:
-            continue
-        if re.search(r"dec\.h\.\d+\.(crossattention|attn)\."
-                     r"(bias|masked_bias)$", key):
-            report.skipped[full] = ("GPT-2 causal-mask buffer, not a "
-                                    "parameter (modeling_transfomres.py "
-                                    "Attention.register_buffer)")
-        elif re.match(r"cls_layer\.\d+\.attention\.", key):
-            report.skipped[full] = ("dead BertSelfAttention inside "
-                                    "ClsLayer2 — its forward reads only "
-                                    "cls_q_proj/align_k_proj/dense/"
-                                    "LayerNorm/FFN (v10.py:801-837)")
-        elif key.endswith("position_ids") or key == "position_ids":
-            report.skipped[full] = "HF position-id buffer (not a parameter)"
-        else:
-            report.unconsumed.add(full)
-    if strict and report.unconsumed:
-        raise KeyError(
-            "rationale checkpoint keys neither grafted nor known-dead:\n"
-            + "\n".join(f"  {k}" for k in sorted(report.unconsumed))
-        )
+    _finish(report, sd, strict, extra=(
+        (r"^dec\.h\.\d+\.(crossattention|attn)\.(bias|masked_bias)$",
+         "GPT-2 causal-mask buffer, not a parameter "
+         "(modeling_transfomres.py Attention.register_buffer)"),
+        (r"^cls_layer\.\d+\.attention\.",
+         "dead BertSelfAttention inside ClsLayer2 — its forward reads "
+         "only cls_q_proj/align_k_proj/dense/LayerNorm/FFN "
+         "(v10.py:801-837)"),
+    ))
     return report
 
 

@@ -122,6 +122,24 @@ class RationaleGenerator:
         self._gpt2_cfg = gpt2_config
         b_id, e_id = gpt_tokenizer.convert_tokens_to_ids([B_RTNL, E_RTNL])
         self._b_rtnl, self._e_rtnl = int(b_id), int(e_id)
+        # guard the silent-NaN embedding trap (CLAUDE.md): a marker id at
+        # or past vocab_size makes nn.Embed emit NaN under jit with no
+        # error; identical ids mean the tokenizer mapped both markers to
+        # unk (e.g. a stock GPT-2 vocab without the rationale tokens)
+        V = gpt2_config.vocab_size
+        if not (0 <= self._b_rtnl < V and 0 <= self._e_rtnl < V):
+            raise ValueError(
+                f"rationale marker ids ({self._b_rtnl}, {self._e_rtnl}) "
+                f"fall outside GPT2Config.vocab_size={V} — size the config "
+                "to the tokenizer (len(tokenizer)) or the checkpoint's "
+                "dec.wte rows"
+            )
+        if self._b_rtnl == self._e_rtnl:
+            raise ValueError(
+                f"{B_RTNL}/{E_RTNL} map to the same id {self._b_rtnl} — "
+                "the GPT tokenizer lacks the rationale marker tokens "
+                "(both collapsed to unk); add them as special tokens"
+            )
 
         self.spec = spec or BatchSpec(num_labels=num_labels)
         # the rationale family is VCR-native (v10.py); the VCR featurizer

@@ -50,44 +50,66 @@ class ServerStats:
         self.requests = 0
         self.examples = 0
         self.errors = 0
-        self._lat = collections.deque(maxlen=4096)  # seconds, recent window
+        # per-route latency windows: a /generate call (classify + N-step
+        # decode) is ~10× a /score call, so pooling them would make the
+        # percentiles meaningless on mixed workloads
+        self._routes: dict = {}
 
-    def record(self, n_examples: int, seconds: float) -> None:
+    def _route(self, route: str) -> dict:
+        r = self._routes.get(route)
+        if r is None:
+            r = self._routes[route] = {
+                "requests": 0, "examples": 0,
+                "lat": collections.deque(maxlen=4096),
+            }
+        return r
+
+    def record(self, route: str, n_examples: int, seconds: float) -> None:
         with self._lock:
             self.requests += 1
             self.examples += n_examples
-            self._lat.append(seconds)
+            r = self._route(route)
+            r["requests"] += 1
+            r["examples"] += n_examples
+            r["lat"].append(seconds)
 
     def record_error(self) -> None:
         with self._lock:
             self.errors += 1
 
+    @staticmethod
+    def _lat_stats(lat) -> dict:
+        lat = sorted(lat)
+        return {
+            "p50": round(1e3 * lat[len(lat) // 2], 1),
+            "p90": round(1e3 * lat[int(len(lat) * 0.9)], 1),
+            "max": round(1e3 * lat[-1], 1),
+            "window": len(lat),
+        }
+
     def snapshot(self) -> dict:
         with self._lock:
-            lat = sorted(self._lat)
             out = {
                 "requests": self.requests,
                 "examples": self.examples,
                 "errors": self.errors,
             }
-        if lat:
-            out["latency_ms"] = {
-                "p50": round(1e3 * lat[len(lat) // 2], 1),
-                "p90": round(1e3 * lat[int(len(lat) * 0.9)], 1),
-                "max": round(1e3 * lat[-1], 1),
-                "window": len(lat),
+            routes = {
+                name: {"requests": r["requests"], "examples": r["examples"],
+                       "latency_ms": self._lat_stats(r["lat"])}
+                for name, r in self._routes.items() if r["lat"]
             }
-        if self._batcher is not None:
-            sizes = list(self._batcher.dispatch_sizes)
+        if routes:
+            out["routes"] = routes
+        for name, b in (("score", self._batcher),
+                        ("generate", self._gen_batcher)):
+            if b is None:
+                continue
+            sizes = list(b.dispatch_sizes)
             if sizes:
-                out["device_dispatches"] = len(sizes)
-                out["mean_device_batch"] = round(sum(sizes) / len(sizes), 2)
-        if self._gen_batcher is not None:
-            sizes = list(self._gen_batcher.dispatch_sizes)
-            if sizes:
-                out["gen_device_dispatches"] = len(sizes)
-                out["gen_mean_device_batch"] = round(
-                    sum(sizes) / len(sizes), 2
+                out.setdefault("routes", {}).setdefault(name, {}).update(
+                    device_dispatches=len(sizes),
+                    mean_device_batch=round(sum(sizes) / len(sizes), 2),
                 )
         return out
 
@@ -116,7 +138,9 @@ def _make_handler(score_fn, generate_fn=None, stats: Optional[ServerStats] = Non
         def do_POST(self):
             if self.path == "/score":
                 handler = score_fn
+                route = "score"
             elif self.path == "/generate":
+                route = "generate"
                 if generate_fn is None:
                     self._reply(
                         404, {"error": "no generator configured"}
@@ -148,7 +172,8 @@ def _make_handler(score_fn, generate_fn=None, stats: Optional[ServerStats] = Non
                 t0 = time.perf_counter()
                 results = handler(examples)
                 if stats is not None:
-                    stats.record(len(examples), time.perf_counter() - t0)
+                    stats.record(route, len(examples),
+                                 time.perf_counter() - t0)
                 self._reply(200, {"results": results})
             except KeyError as e:
                 if stats is not None:
@@ -208,25 +233,25 @@ def serve(
     server.modcr_gen_batcher = gen_batcher
     server.modcr_stats = stats
 
-    def modcr_close():
-        """Full teardown: stop accepting, then drain/close the batcher
-        dispatcher threads (shutdown() alone leaves them parked on their
-        queues — harmless for a process exit, a leak for in-process
-        restarts)."""
-        server.shutdown()
+    def _teardown():
+        """Close the socket and drain/close the batcher dispatcher threads
+        (shutdown() alone leaves them parked on their queues — harmless
+        for a process exit, a leak for in-process restarts)."""
         server.server_close()
         for b in (server.modcr_batcher, server.modcr_gen_batcher):
             if b is not None:
                 b.close()
+
+    def modcr_close():
+        server.shutdown()
+        _teardown()
 
     server.modcr_close = modcr_close
     if block:
         try:
             server.serve_forever()
         finally:
-            for b in (batcher if batching else None, gen_batcher):
-                if b is not None:
-                    b.close()
+            _teardown()
         return None
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

@@ -210,7 +210,7 @@ class TestTrainToServeLifecycle:
         captured = {}
         monkeypatch.setattr(
             "multimodal_context_reasoning_tpu.serving.server.serve",
-            lambda scorer, host, port: captured.update(scorer=scorer),
+            lambda scorer, host, port, **kw: captured.update(scorer=scorer),
         )
         serve_cli.main([
             "--img_feat_file", feature_pickle, "--tiny",

@@ -125,8 +125,10 @@ class TestServer:
             assert stats["requests"] == 1
             assert stats["examples"] == 1
             assert stats["errors"] == 1
-            assert stats["latency_ms"]["window"] == 1
-            assert stats["mean_device_batch"] >= 1.0
+            score_stats = stats["routes"]["score"]
+            assert score_stats["latency_ms"]["window"] == 1
+            assert score_stats["mean_device_batch"] >= 1.0
+            assert "generate" not in stats["routes"]  # per-route split
         finally:
             server.shutdown()
 
