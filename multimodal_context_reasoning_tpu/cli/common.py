@@ -107,6 +107,11 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="inference-only dynamic W8A8 int8 matmuls in all "
                         "three towers (ops/quant.py; 2x MXU peak on v5e). "
                         "Ignored on the training path.")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler trace of a few warm train "
+                        "micro-steps into this dir (TensorBoard/xprof); "
+                        "the reference has no profiling story at all "
+                        "(SURVEY.md §5)")
     p.add_argument("--device_features", action="store_true",
                    help="keep the whole image-feature set resident in "
                         "device HBM once and gather per batch from int32 "

@@ -37,9 +37,18 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         logger: Optional[logging.Logger] = None,
         freeze_roberta_body: bool = False,
+        profile_dir: Optional[str] = None,
+        profile_start: int = 10,
+        profile_steps: int = 3,
     ):
         self.model = model
         self.cfg = cfg
+        # jax.profiler capture of micro-steps [profile_start,
+        # profile_start+profile_steps) into profile_dir (TensorBoard/xprof);
+        # default start skips compile + warmup steps
+        self.profile_dir = profile_dir
+        self.profile_start = profile_start
+        self.profile_steps = profile_steps
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.mesh = mesh
@@ -153,6 +162,25 @@ class Trainer:
             sums = None
             since_fetch = 0
 
+        tracing = False
+
+        def maybe_profile(micro_done: int, block_on=None) -> None:
+            """Start/stop the jax.profiler capture window around
+            micro-steps [profile_start, profile_start+profile_steps)."""
+            nonlocal tracing
+            if self.profile_dir is None:
+                return
+            if not tracing and micro_done == self.profile_start:
+                jax.profiler.start_trace(self.profile_dir)
+                tracing = True
+            elif tracing and micro_done >= self.profile_start + self.profile_steps:
+                if block_on is not None:
+                    jax.block_until_ready(block_on)  # capture real device time
+                jax.profiler.stop_trace()
+                tracing = False
+                self.logger.info("profiler trace written to %s",
+                                 self.profile_dir)
+
         capped = False  # max_steps reached: stop BEFORE any further update
         for epoch in range(self.num_epochs):
             if capped:
@@ -160,11 +188,13 @@ class Trainer:
             if hasattr(self.train_loader, "set_epoch"):
                 self.train_loader.set_epoch(epoch)
             for batch in self.train_loader:
+                maybe_profile(micro)
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = self.train_step(
                     state, self._to_device(batch), step_rng
                 )
                 micro += 1
+                maybe_profile(micro, block_on=metrics["loss"])
                 sums = (
                     metrics if sums is None
                     else {k: sums[k] + metrics[k] for k in sums}
@@ -203,6 +233,8 @@ class Trainer:
                     break          # the next epoch trains one extra group
             drain_sums()
             self.logger.info("epoch %d done: %s", epoch + 1, meter)
+        if tracing:  # training ended inside the capture window
+            jax.profiler.stop_trace()
         if self.ckpt is not None:
             self.ckpt.wait()
         return state

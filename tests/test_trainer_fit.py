@@ -149,3 +149,46 @@ class TestLoaderAbandonment:
         assert threading.active_count() <= before + 1, (
             f"{threading.active_count() - before} leaked prefetch threads"
         )
+
+
+def test_profile_dir_captures_trace(tmp_path):
+    """Trainer(profile_dir=...): a jax.profiler trace of the configured
+    micro-step window lands on disk (TensorBoard/xprof layout)."""
+    import os
+
+    import numpy as np
+
+    from __graft_entry__ import _synthetic_batch
+    from multimodal_context_reasoning_tpu.core.config import (
+        ModCRConfig, TrainConfig,
+    )
+    from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+
+    cfg = ModCRConfig.tiny()
+    batches = [
+        {k: np.asarray(v) for k, v in _synthetic_batch(cfg, 2, seed=s).items()}
+        for s in range(4)
+    ]
+
+    class Loader:
+        def __iter__(self):
+            return iter(batches)
+
+        def __len__(self):
+            return len(batches)
+
+    tcfg = TrainConfig(learning_rate=1e-3, scheduler="constant",
+                       num_train_epochs=1, per_device_batch_size=2,
+                       valid_steps=10_000, epoch_begin=99)
+    from multimodal_context_reasoning_tpu.train.trainer import Trainer
+
+    prof = tmp_path / "trace"
+    trainer = Trainer(ModCRModel(cfg), tcfg, Loader(),
+                      profile_dir=str(prof), profile_start=1,
+                      profile_steps=2)
+    trainer.fit()
+    found = [
+        os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs
+    ]
+    assert any("trace" in f or f.endswith(".pb") or ".xplane" in f
+               for f in found), found
