@@ -107,6 +107,11 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="inference-only dynamic W8A8 int8 matmuls in all "
                         "three towers (ops/quant.py; 2x MXU peak on v5e). "
                         "Ignored on the training path.")
+    p.add_argument("--tensorboard_dir", type=str, default="",
+                   help="stream train meters + val accuracy as TensorBoard "
+                        "scalars (JSONL fallback without torch); the "
+                        "reference's TensorboardLogger analogue "
+                        "(utils/metric_logger.py:115-185)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of a few warm train "
                         "micro-steps into this dir (TensorBoard/xprof); "

@@ -194,6 +194,7 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
             freeze_roberta_body=(task == "vcr"),  # run_vcr_ModCR.py:783-787
             profile_dir=args.profile_dir or None,
             profile_start=2 if args.tiny else 10,
+            tensorboard_dir=args.tensorboard_dir or None,
         )
         from multimodal_context_reasoning_tpu.train.checkpoint import save_config
 

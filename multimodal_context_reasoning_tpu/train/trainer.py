@@ -40,6 +40,7 @@ class Trainer:
         profile_dir: Optional[str] = None,
         profile_start: int = 10,
         profile_steps: int = 3,
+        tensorboard_dir: Optional[str] = None,
     ):
         self.model = model
         self.cfg = cfg
@@ -49,6 +50,16 @@ class Trainer:
         self.profile_dir = profile_dir
         self.profile_start = profile_start
         self.profile_steps = profile_steps
+        # scalar stream (utils/tensorboard.py: SummaryWriter or JSONL
+        # fallback), fed at the same sync points the meter drains at —
+        # per-step writes would force per-step device readbacks
+        self.tb = None
+        if tensorboard_dir is not None:
+            from multimodal_context_reasoning_tpu.utils.tensorboard import (
+                TensorboardLogger,
+            )
+
+            self.tb = TensorboardLogger(tensorboard_dir)
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.mesh = mesh
@@ -224,6 +235,9 @@ class Trainer:
                         "train_loss": last("loss"),
                         "train_acc": last("acc"),
                     })
+                    if self.tb is not None:
+                        self.tb.log_meters(meter, opt_step)
+                        self.tb.log_scalar("val_acc", acc, opt_step)
                     if acc > self.best_acc:
                         self.best_acc = acc
                         if self.ckpt is not None:
@@ -233,8 +247,12 @@ class Trainer:
                     break          # the next epoch trains one extra group
             drain_sums()
             self.logger.info("epoch %d done: %s", epoch + 1, meter)
+            if self.tb is not None:
+                self.tb.log_meters(meter, micro // accum)
         if tracing:  # training ended inside the capture window
             jax.profiler.stop_trace()
+        if self.tb is not None:
+            self.tb.close()
         if self.ckpt is not None:
             self.ckpt.wait()
         return state

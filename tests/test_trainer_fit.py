@@ -192,3 +192,44 @@ def test_profile_dir_captures_trace(tmp_path):
     ]
     assert any("trace" in f or f.endswith(".pb") or ".xplane" in f
                for f in found), found
+
+
+def test_tensorboard_dir_streams_scalars(tmp_path):
+    """Trainer(tensorboard_dir=...): validation + epoch meters land as
+    TensorBoard event files (or the JSONL fallback) with a val_acc
+    scalar."""
+    import os
+
+    import numpy as np
+
+    from __graft_entry__ import _synthetic_batch
+    from multimodal_context_reasoning_tpu.core.config import (
+        ModCRConfig, TrainConfig,
+    )
+    from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+    from multimodal_context_reasoning_tpu.train.trainer import Trainer
+
+    cfg = ModCRConfig.tiny()
+    batches = [
+        {k: np.asarray(v) for k, v in _synthetic_batch(cfg, 2, seed=s).items()}
+        for s in range(2)
+    ]
+
+    class Loader:
+        def __iter__(self):
+            return iter(batches)
+
+        def __len__(self):
+            return len(batches)
+
+    tcfg = TrainConfig(learning_rate=1e-3, scheduler="constant",
+                       num_train_epochs=1, per_device_batch_size=2,
+                       valid_steps=1, epoch_begin=1)
+    tb = tmp_path / "tb"
+    trainer = Trainer(ModCRModel(cfg), tcfg, Loader(), Loader(),
+                      tensorboard_dir=str(tb))
+    trainer.fit()
+    found = [os.path.join(r, f) for r, _, fs in os.walk(tb) for f in fs]
+    assert found, "no tensorboard/JSONL output written"
+    assert any("tfevents" in f or f.endswith("metrics.jsonl")
+               for f in found), found
