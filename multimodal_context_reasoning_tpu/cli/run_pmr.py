@@ -250,6 +250,10 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
             params = CheckpointManager(
                 os.path.join(args.eval_model_dir, "ckpt")
             ).restore_params(best=True)
+            # commit the host-numpy restore once — jit doesn't cache numpy
+            # args, so the per-batch eval_step below would otherwise
+            # re-ship the full param tree on every batch
+            params = jax.device_put(params)
 
         all_logits = []
         correct = count = 0.0

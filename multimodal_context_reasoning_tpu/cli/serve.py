@@ -139,6 +139,7 @@ def _build_generator(args, cfg, bert, feats):
     )
     from multimodal_context_reasoning_tpu.models.rationale import (
         RationaleModel,
+        rationale_init_batch,
     )
     from multimodal_context_reasoning_tpu.serving.generator import (
         RationaleGenerator,
@@ -206,22 +207,9 @@ def _build_generator(args, cfg, bert, feats):
         gpt_tok = HashTokenizer(vocab_size=gpt.vocab_size)
 
     model = RationaleModel(enc, sched, gpt, max_chunks=max_chunks)
-    rng = np.random.default_rng(0)
-    B, T, I = 4, spec.text_len, spec.img_len
-    init_batch = {
-        "input_ids": np.asarray(
-            rng.integers(4, enc.vocab_size, size=(B, T)), np.int32),
-        "text_mask": np.ones((B, T), np.float32),
-        "img_feat": rng.normal(size=(B, I, enc.img_feature_dim)).astype(
-            np.float32),
-        "img_mask": np.ones((B, I), np.float32),
-        "chunk_mask": np.ones((B, T, T), np.float32),
-        "gather_index": np.full((B, T), -1, np.int32),
-        # the decoder branch must trace at init (no "dec" subtree without)
-        "expl_ids": np.asarray(
-            rng.integers(2, gpt.vocab_size, size=(1, 8)), np.int32),
-        "expl_mask": np.ones((1, 8), np.float32),
-    }
+    # shared init recipe (models/rationale.py) — carries the expl stream so
+    # the decoder branch traces (no "dec" subtree without it)
+    init_batch = rationale_init_batch(enc, gpt, spec)
     if sd is not None:
         from multimodal_context_reasoning_tpu.interop.assemble import (
             assemble_rationale_params,

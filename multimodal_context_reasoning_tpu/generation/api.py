@@ -80,10 +80,10 @@ def _cbs_select(beams, logp, num_constraints, min_satisfy, eos_id):
     tokens, _ = select_best_beam_with_constraints(
         beams, logp, num_constraints, min_satisfy, (eos_id,)
     )
-    # pad-based length convention shared with decode.py (:85): count up to
-    # AND INCLUDING the first eos (the lattice pads the tail with eos, so
-    # "tokens before first eos, plus the eos itself" equals the other
-    # modes' non-pad count; a beam that never emitted eos keeps max_len)
+    # length convention shared with decode.py: count up to AND INCLUDING
+    # the first eos (the lattice pads the tail with eos, so this equals the
+    # other modes' active-step count; a beam that never emitted eos keeps
+    # max_len)
     T = tokens.shape[-1]
     before = jnp.sum(
         jnp.cumprod((tokens != eos_id).astype(jnp.int32), axis=-1), axis=-1

@@ -75,6 +75,10 @@ class BeamState(NamedTuple):
     fin_count: jnp.ndarray     # [B] int32
     done: jnp.ndarray          # [B] bool
     rng: jax.Array
+    fin_lens: jnp.ndarray      # [B, K] int32 generated length at finalize
+                               # (tracked positionally — `seq != pad_id`
+                               # would miscount when pad is an emittable
+                               # token, e.g. GPT-2's 50256)
 
 
 class BeamContext(NamedTuple):
@@ -166,8 +170,15 @@ def beam_select_step(state: BeamState, logp_raw: jnp.ndarray,
     )                                                            # [B, 2K, L]
     pool_scores = jnp.concatenate([state.fin_scores, eos_scores], axis=1)
     pool_seqs = jnp.concatenate([state.fin_seqs, cand_seqs], axis=1)
+    # a hypothesis finalized now holds t generated tokens (the EOS is never
+    # appended — BeamHypotheses.add receives input_ids pre-EOS, :1817)
+    pool_lens = jnp.concatenate(
+        [state.fin_lens, jnp.broadcast_to(t, (B, 2 * K)).astype(jnp.int32)],
+        axis=1,
+    )
     top_scores, top_idx = jax.lax.top_k(pool_scores, K)
     new_fin_seqs = jnp.take_along_axis(pool_seqs, top_idx[..., None], axis=1)
+    new_fin_lens = jnp.take_along_axis(pool_lens, top_idx, axis=1)
     new_fin_count = jnp.minimum(
         state.fin_count + jnp.sum(eos_scores > NEG, axis=1), K
     )
@@ -175,6 +186,7 @@ def beam_select_step(state: BeamState, logp_raw: jnp.ndarray,
     keep = state.done[:, None]
     new_fin_scores = jnp.where(keep, state.fin_scores, top_scores)
     new_fin_seqs = jnp.where(keep[..., None], state.fin_seqs, new_fin_seqs)
+    new_fin_lens = jnp.where(keep, state.fin_lens, new_fin_lens)
     new_fin_count = jnp.where(state.done, state.fin_count, new_fin_count)
 
     # ---- Next beams: first K non-EOS candidates in sorted order.
@@ -216,6 +228,7 @@ def beam_select_step(state: BeamState, logp_raw: jnp.ndarray,
         fin_count=new_fin_count,
         done=state.done | newly_done,
         rng=rng,
+        fin_lens=new_fin_lens,
     )
 
 
@@ -275,6 +288,7 @@ def constrained_beam_sample(
         fin_count=jnp.zeros((B,), jnp.int32),
         done=jnp.zeros((B,), bool),
         rng=rng,
+        fin_lens=jnp.zeros((B, K), jnp.int32),
     )
 
     cmask = constraint_mask if constraint_mask is not None else jnp.zeros((B, V), bool)
@@ -324,10 +338,20 @@ def constrained_beam_sample(
     final_open = state.beam_scores / (final_len ** length_penalty)
     pool_scores = jnp.concatenate([state.fin_scores, final_open], axis=1)
     pool_seqs = jnp.concatenate([state.fin_seqs, state.seqs], axis=1)
+    # open beams hold cur_len generated tokens; finished ones carry their
+    # recorded length (positional — robust to an emittable pad id)
+    pool_lens = jnp.concatenate(
+        [state.fin_lens,
+         jnp.broadcast_to(state.cur_len, state.fin_lens.shape).astype(jnp.int32)],
+        axis=1,
+    )
     best = jnp.argmax(pool_scores, axis=1)                       # [B]
     best_seqs = jnp.take_along_axis(
         pool_seqs, best[:, None, None], axis=1
     )[:, 0]                                                      # [B, L_total]
     best_tokens = best_seqs[:, :max_steps]
-    lengths = jnp.sum((best_tokens != pad_id).astype(jnp.int32), axis=1)
+    lengths = jnp.minimum(
+        jnp.take_along_axis(pool_lens, best[:, None], axis=1)[:, 0],
+        max_steps,
+    )
     return best_tokens, lengths

@@ -74,15 +74,20 @@ def greedy_decode(
         )
         nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         out_tok = jnp.where(done, pad_id, tok)
+        active = ~done                      # this step emitted a real token
         done = done | (tok == eos_id)
-        return (cache, nxt, done), out_tok
+        return (cache, nxt, done), (out_tok, active)
 
     done0 = jnp.zeros((B,), bool)
-    (_, _, done), toks = jax.lax.scan(
+    (_, _, done), (toks, active) = jax.lax.scan(
         step, (cache, first_tok, done0), jnp.arange(max_len)
     )
     tokens = jnp.transpose(toks, (1, 0))                       # [B, max_len]
-    lengths = jnp.sum((tokens != pad_id).astype(jnp.int32), axis=-1)
+    # length = number of steps the row was still emitting (the eos itself
+    # counts).  Positional, NOT `tokens != pad_id`: with GPT-2 pad_token_id
+    # 50256 == <|endoftext|> a mid-sequence endoftext is a REAL emitted
+    # token and must not shrink the reported length.
+    lengths = jnp.sum(jnp.transpose(active, (1, 0)).astype(jnp.int32), axis=-1)
     return tokens, lengths
 
 
@@ -178,12 +183,14 @@ def sample_decode(
         rng, sub = jax.random.split(rng)
         nxt = pick(sub, logits[:, 0])
         out_tok = jnp.where(done, pad_id, tok)
+        active = ~done
         done = done | (tok == eos_id)
-        return (cache, nxt, done, rng), out_tok
+        return (cache, nxt, done, rng), (out_tok, active)
 
-    (_, _, _, _), toks = jax.lax.scan(
+    (_, _, _, _), (toks, active) = jax.lax.scan(
         step, (cache, first_tok, jnp.zeros((B,), bool), rng), jnp.arange(max_len)
     )
     tokens = jnp.transpose(toks, (1, 0))
-    lengths = jnp.sum((tokens != pad_id).astype(jnp.int32), axis=-1)
+    # positional length (see greedy_decode) — robust to an emittable pad id
+    lengths = jnp.sum(jnp.transpose(active, (1, 0)).astype(jnp.int32), axis=-1)
     return tokens, lengths

@@ -44,6 +44,49 @@ from multimodal_context_reasoning_tpu.models.layers import FeedForward
 from multimodal_context_reasoning_tpu.ops.masks import NEG_INF
 
 
+def rationale_init_batch(
+    encoder_config: EncoderConfig,
+    gpt2_config: GPT2Config,
+    spec,                       # BatchSpec (duck-typed: text_len/img_len)
+    *,
+    rows: int = 4,
+    expl_len: int = 8,
+    seed: int = 0,
+) -> Dict:
+    """One representative input batch for ``RationaleModel.init``.
+
+    Single source for the init recipe (cli/serve.py, scripts/
+    bench_generate.py): the ``expl_ids``/``expl_mask`` stream MUST be
+    present so the GPT-2 decoder branch is traced — without it the init'd
+    tree has no ``"dec"`` subtree and the serving generator's constructor
+    rejects the params.  The explanation stream is per-QUESTION (one row),
+    while the classify stream carries the question's ``rows`` candidate
+    rows.  Host numpy on purpose: usable for both ``jax.jit(model.init)``
+    and shape-only ``jax.eval_shape`` templates.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    B, T, I = rows, spec.text_len, spec.img_len
+    return {
+        "input_ids": np.asarray(
+            rng.integers(4, encoder_config.vocab_size, size=(B, T)), np.int32
+        ),
+        "text_mask": np.ones((B, T), np.float32),
+        "img_feat": rng.normal(
+            size=(B, I, encoder_config.img_feature_dim)
+        ).astype(np.float32),
+        "img_mask": np.ones((B, I), np.float32),
+        "chunk_mask": np.ones((B, T, T), np.float32),
+        "gather_index": np.full((B, T), -1, np.int32),
+        "expl_ids": np.asarray(
+            rng.integers(2, gpt2_config.vocab_size, size=(1, expl_len)),
+            np.int32,
+        ),
+        "expl_mask": np.ones((1, expl_len), np.float32),
+    }
+
+
 def binary_to_mp(logits: jnp.ndarray, num_labels: int = 4) -> jnp.ndarray:
     """Per-candidate binary logits → multiple-choice probabilities.
 

@@ -47,7 +47,10 @@ class MicroBatcher:
         # accepted future is either dispatched or failed by the drain
         self._close_lock = threading.Lock()
         # device-call telemetry: one (batch_size,) entry per dispatch,
-        # bounded so a long-lived server doesn't leak
+        # bounded so a long-lived server doesn't leak.  Guarded by
+        # _stats_lock: iterating a deque while another thread appends
+        # raises RuntimeError, so readers must go through telemetry()
+        self._stats_lock = threading.Lock()
         self.dispatch_sizes: Deque[int] = collections.deque(maxlen=4096)
         self._thread = threading.Thread(
             target=self._loop, name="modcr-microbatcher", daemon=True
@@ -70,6 +73,12 @@ class MicroBatcher:
                 self._q.put((feat, ex.example_id, f))
             futures.append(f)
         return [f.result() for f in futures]
+
+    def telemetry(self) -> List[int]:
+        """Snapshot of recent device-dispatch batch sizes (thread-safe —
+        the dispatcher appends concurrently)."""
+        with self._stats_lock:
+            return list(self.dispatch_sizes)
 
     def close(self) -> None:
         with self._close_lock:
@@ -121,7 +130,8 @@ class MicroBatcher:
             self._dispatch(items)
 
     def _dispatch(self, items) -> None:
-        self.dispatch_sizes.append(len(items))
+        with self._stats_lock:
+            self.dispatch_sizes.append(len(items))
         try:
             results = self.scorer.score_featurized(
                 [it[0] for it in items], [it[1] for it in items]

@@ -48,7 +48,11 @@ from multimodal_context_reasoning_tpu.models.rationale import RationaleModel
 from multimodal_context_reasoning_tpu.ops.chunk import (
     chunk_mask_from_gather_index,
 )
-from multimodal_context_reasoning_tpu.serving.scorer import iter_keys
+from multimodal_context_reasoning_tpu.serving.scorer import (
+    iter_keys,
+    pad_by_repetition,
+    run_chunked,
+)
 
 
 def decode_ids(tokenizer, ids: Sequence[int]) -> Optional[str]:
@@ -107,6 +111,10 @@ class RationaleGenerator:
                     f"micro_batch or shrink the data axis"
                 )
             params = jax.device_put(params, param_shardings(params, mesh))
+        else:
+            # commit host-numpy trees once — jit doesn't cache numpy args,
+            # so an uncommitted tree re-ships every call (see ModCRScorer)
+            params = jax.device_put(params)
         self.params = params
         self.features = image_features
         self.micro_batch = micro_batch
@@ -213,18 +221,13 @@ class RationaleGenerator:
         endpoint deterministic)."""
         if self.mode != "greedy" and rng is None:
             rng = jax.random.PRNGKey(next(self._auto_seed))
-        out: List[Dict] = []
-        mb = self.micro_batch
-        # chunk/pad contract mirrors ModCRScorer.score — change both together
-        for ci, start in enumerate(range(0, len(examples), mb)):
-            chunk = list(examples[start:start + mb])
-            out.extend(self.score_featurized(
-                [self.featurize(ex) for ex in chunk],
-                [ex.example_id for ex in chunk],
-                # sampling: decorrelate chunks within one request
-                rng=(jax.random.fold_in(rng, ci) if rng is not None else None),
-            ))
-        return out
+        return run_chunked(
+            self, examples,
+            # sampling: decorrelate chunks within one request
+            chunk_kwargs=lambda ci: {
+                "rng": jax.random.fold_in(rng, ci) if rng is not None else None
+            },
+        )
 
     def featurize(self, ex: RawExample):
         """Host-side featurization for one question — safe on any request
@@ -245,13 +248,9 @@ class RationaleGenerator:
         real = len(feats)
         if real == 0:
             return []
-        if real > self.micro_batch:
-            raise ValueError(
-                f"{real} examples > micro_batch={self.micro_batch}"
-            )
         if self.mode != "greedy" and rng is None:
             rng = jax.random.PRNGKey(next(self._auto_seed))
-        padded = list(feats) + [feats[-1]] * (self.micro_batch - real)
+        real, padded = pad_by_repetition(feats, self.micro_batch)
         batch = collate_candidates(
             [f[0] for f in padded], [f[1] for f in padded], self.spec,
         )

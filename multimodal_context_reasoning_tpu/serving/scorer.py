@@ -22,6 +22,39 @@ from multimodal_context_reasoning_tpu.data.schemas import ImageFeatures, RawExam
 from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
 
 
+def pad_by_repetition(feats: Sequence, micro_batch: int):
+    """Validate + right-pad a featurized chunk to the static micro-batch by
+    repeating the last entry.  Single source of the pad contract shared by
+    :class:`ModCRScorer` and :class:`RationaleGenerator` (the compiled
+    program's leading dim is static; repeated rows are trimmed by the
+    caller's ``[:real]``)."""
+    real = len(feats)
+    if real > micro_batch:
+        raise ValueError(f"{real} examples > micro_batch={micro_batch}")
+    feats = list(feats)
+    while len(feats) < micro_batch:
+        feats.append(feats[-1])
+    return real, feats
+
+
+def run_chunked(endpoint, examples: Sequence[RawExample], *, chunk_kwargs=None):
+    """Score any number of examples through an endpoint exposing the
+    ``featurize`` / ``score_featurized`` / ``micro_batch`` protocol (the
+    same duck type the serving MicroBatcher drives), chunking to the static
+    micro-batch.  ``chunk_kwargs(chunk_index)`` may supply per-chunk extras
+    (e.g. a decorrelated sampling rng)."""
+    out: List[Dict] = []
+    mb = endpoint.micro_batch
+    for ci, start in enumerate(range(0, len(examples), mb)):
+        chunk = list(examples[start:start + mb])
+        kw = chunk_kwargs(ci) if chunk_kwargs is not None else {}
+        out.extend(endpoint.score_featurized(
+            [endpoint.featurize(ex) for ex in chunk],
+            [ex.example_id for ex in chunk], **kw,
+        ))
+    return out
+
+
 class ModCRScorer:
     def __init__(
         self,
@@ -71,6 +104,13 @@ class ModCRScorer:
                     f"raise micro_batch or shrink the data axis"
                 )
             params = jax.device_put(params, param_shardings(params, mesh))
+        else:
+            # restore_params/assemble hand back HOST numpy trees; jit does
+            # not cache numpy arguments, so leaving them on host would
+            # re-ship the full multi-hundred-MB tree on EVERY device call
+            # (~1.6 s/call through the tunnel, CLAUDE.md). Commit once at
+            # construction — a no-op for already-device trees.
+            params = jax.device_put(params)
         self.params = params
         self.micro_batch = micro_batch
         self.features = image_features
@@ -140,11 +180,7 @@ class ModCRScorer:
         real = len(feats)
         if real == 0:
             return []
-        if real > self.micro_batch:
-            raise ValueError(f"{real} examples > micro_batch={self.micro_batch}")
-        feats = list(feats)
-        while len(feats) < self.micro_batch:
-            feats.append(feats[-1])
+        real, feats = pad_by_repetition(feats, self.micro_batch)
         if self.table is not None:
             batch = collate_candidates(
                 [f[0] for f in feats], None, self._ds.spec
@@ -193,18 +229,9 @@ class ModCRScorer:
 
     def score(self, examples: Sequence[RawExample]) -> List[Dict]:
         """Score any number of examples; internally chunks to the static
-        micro-batch (last chunk padded by repetition).  The chunk/pad
-        contract mirrors RationaleGenerator.generate — change both
-        together."""
-        out: List[Dict] = []
-        mb = self.micro_batch
-        for start in range(0, len(examples), mb):
-            chunk = list(examples[start:start + mb])
-            out.extend(self.score_featurized(
-                [self.featurize(ex) for ex in chunk],
-                [ex.example_id for ex in chunk],
-            ))
-        return out
+        micro-batch (last chunk padded by repetition) via the shared
+        :func:`run_chunked` protocol."""
+        return run_chunked(self, examples)
 
 
 def iter_keys(mapping) -> "iter":

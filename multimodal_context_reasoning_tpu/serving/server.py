@@ -105,7 +105,7 @@ class ServerStats:
                         ("generate", self._gen_batcher)):
             if b is None:
                 continue
-            sizes = list(b.dispatch_sizes)
+            sizes = b.telemetry()
             if sizes:
                 out.setdefault("routes", {}).setdefault(name, {}).update(
                     device_dispatches=len(sizes),

@@ -56,7 +56,10 @@ def main():
         RawExample,
     )
     from multimodal_context_reasoning_tpu.data.tokenization import HashTokenizer
-    from multimodal_context_reasoning_tpu.models.rationale import RationaleModel
+    from multimodal_context_reasoning_tpu.models.rationale import (
+        RationaleModel,
+        rationale_init_batch,
+    )
     from multimodal_context_reasoning_tpu.serving.generator import (
         RationaleGenerator,
     )
@@ -83,19 +86,11 @@ def main():
     # representative batch (expl stream included so the decoder traces)
     log("initializing full-size rationale params (jitted)...")
     model = RationaleModel(enc, sched, gpt, max_chunks=40)
-    B, T, I = 4, spec.text_len, spec.img_len
+    # shared init recipe (models/rationale.py) — expl stream included so
+    # the decoder branch traces
     init_batch = {
-        "input_ids": jnp.asarray(
-            rng.integers(4, enc.vocab_size, size=(B, T)), jnp.int32),
-        "text_mask": jnp.ones((B, T)),
-        "img_feat": jnp.asarray(
-            rng.normal(size=(B, I, enc.img_feature_dim)), jnp.float32),
-        "img_mask": jnp.ones((B, I)),
-        "chunk_mask": jnp.ones((B, T, T)),
-        "gather_index": jnp.full((B, T), -1, jnp.int32),
-        "expl_ids": jnp.asarray(
-            rng.integers(2, gpt.vocab_size, size=(1, 8)), jnp.int32),
-        "expl_mask": jnp.ones((1, 8)),
+        k: jnp.asarray(v)
+        for k, v in rationale_init_batch(enc, gpt, spec).items()
     }
     t0 = time.perf_counter()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), init_batch)

@@ -98,6 +98,30 @@ class TestGreedy:
         want = jnp.argmax(full[:, -1], axis=-1)
         np.testing.assert_array_equal(np.asarray(toks[:, 0]), np.asarray(want))
 
+    def test_lengths_positional_with_emittable_pad(self, gpt2_setup):
+        """GPT-2's pad_token_id 50256 == <|endoftext|> is an emittable REAL
+        token, so lengths must count emission steps (positional), not
+        non-pad tokens: a mid-sequence pad-valued emission must not shrink
+        the reported length.  Greedy is deterministic, so re-running with
+        pad_id set to an actually-emitted token must leave lengths and the
+        within-length tokens unchanged."""
+        cfg, model, params, prompt, mem, mmask = gpt2_setup
+        B, Lp = prompt.shape
+        plen = jnp.full((B,), Lp, jnp.int32)
+        kw = dict(memory=mem, memory_mask=mmask, max_len=6, eos_id=1)
+        toks, lens = greedy_decode(
+            model, params, prompt, plen, pad_id=0, **kw
+        )
+        emitted = int(np.asarray(toks)[0, 0])
+        toks2, lens2 = greedy_decode(
+            model, params, prompt, plen, pad_id=emitted, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(lens), np.asarray(lens2))
+        L0 = int(np.asarray(lens)[0])
+        np.testing.assert_array_equal(
+            np.asarray(toks)[0, :L0], np.asarray(toks2)[0, :L0]
+        )
+
     def test_respects_real_prompt_length(self, gpt2_setup):
         """A right-padded prompt decodes from its real last token."""
         cfg, model, params, prompt, mem, mmask = gpt2_setup
@@ -454,6 +478,7 @@ class TestBeamScorerOracle:
             fin_count=jnp.zeros((B,), jnp.int32),
             done=jnp.zeros((B,), bool),
             rng=jax.random.PRNGKey(42),
+            fin_lens=jnp.zeros((B, K), jnp.int32),
         )
 
         # ---- oracle state
