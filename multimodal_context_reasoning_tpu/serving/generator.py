@@ -111,7 +111,10 @@ class RationaleGenerator:
                     f"micro_batch or shrink the data axis"
                 )
             params = jax.device_put(params, param_shardings(params, mesh))
-        else:
+        elif any(
+            not isinstance(leaf, jax.Array)
+            for leaf in jax.tree_util.tree_leaves(params)
+        ):
             # commit host-numpy trees once — jit doesn't cache numpy args,
             # so an uncommitted tree re-ships every call (see ModCRScorer)
             params = jax.device_put(params)

@@ -104,12 +104,16 @@ class ModCRScorer:
                     f"raise micro_batch or shrink the data axis"
                 )
             params = jax.device_put(params, param_shardings(params, mesh))
-        else:
+        elif any(
+            not isinstance(leaf, jax.Array)
+            for leaf in jax.tree_util.tree_leaves(params)
+        ):
             # restore_params/assemble hand back HOST numpy trees; jit does
             # not cache numpy arguments, so leaving them on host would
             # re-ship the full multi-hundred-MB tree on EVERY device call
             # (~1.6 s/call through the tunnel, CLAUDE.md). Commit once at
-            # construction — a no-op for already-device trees.
+            # construction.  Gated on actually-host leaves so a caller's
+            # pre-placed (e.g. self-sharded) tree is never moved.
             params = jax.device_put(params)
         self.params = params
         self.micro_batch = micro_batch

@@ -149,8 +149,9 @@ def main():
         # scorer is warm — but primes threads)
         hammer(args.port, 1, 2)
         wall, lat, errors = hammer(args.port, args.clients, args.requests)
-        server.shutdown()
-        server.server_close()
+        if batching and getattr(server, "modcr_batcher", None):
+            dispatch_sizes = server.modcr_batcher.telemetry()
+        server.modcr_close()  # socket + batcher dispatcher threads
         time.sleep(0.5)
         if not lat:
             raise SystemExit(f"[serve-bench] every request failed: {errors[:3]}")
@@ -162,8 +163,8 @@ def main():
             "wall_s": round(wall, 2),
         }
         if batching and getattr(server, "modcr_batcher", None):
-            sizes = server.modcr_batcher.dispatch_sizes
-            stats["mean_dispatch_size"] = round(float(np.mean(sizes)), 2)
+            stats["mean_dispatch_size"] = round(
+                float(np.mean(dispatch_sizes)), 2)
         results[mode] = stats
         print(f"[serve-bench] {mode}: {stats}", file=sys.stderr, flush=True)
 

@@ -127,11 +127,19 @@ def test_scorer_micro_batch_1_binary_choice():
     params = model.init(
         jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in batch.items()}
     )
+    # hand the scorer a HOST numpy tree (what restore_params returns): the
+    # constructor must commit it to device once — jit doesn't cache numpy
+    # args, so an uncommitted tree would re-ship on every call
+    np_params = jax.tree_util.tree_map(np.asarray, params)
     scorer = ModCRScorer(
-        cfg, params,
+        cfg, np_params,
         HashTokenizer(vocab_size=cfg.global_encoder.vocab_size),
         RobertaHashTokenizer(vocab_size=cfg.roberta.vocab_size),
         feats, micro_batch=1,
+    )
+    assert all(
+        isinstance(leaf, jax.Array)
+        for leaf in jax.tree_util.tree_leaves(scorer.params)
     )
     results = scorer.score(list(ds.examples[:3]))  # 3 single-example calls
     assert [r["example_id"] for r in results] == ["e0", "e1", "e2"]
