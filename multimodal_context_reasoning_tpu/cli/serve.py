@@ -44,6 +44,14 @@ def main(argv=None):
                         "(hash fallback if unset)")
     p.add_argument("--max_rationale_len", type=int, default=32)
     p.add_argument("--gen_micro_batch", type=int, default=4)
+    p.add_argument("--artifact", default="",
+                   help="serve from an AOT artifact directory "
+                        "(serving/aot.py): no model construction or Flax "
+                        "tracing — load, compile, serve.  Skips "
+                        "--eval_model_dir/--params_dtype/--quantize")
+    p.add_argument("--save_artifact", default="",
+                   help="after warming the scorer, export it as an AOT "
+                        "artifact to this directory and exit")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
 
@@ -60,6 +68,27 @@ def main(argv=None):
            else ModCRConfig().with_dtype(args.compute_dtype))
     if args.quantize != "none":
         cfg = cfg.with_quantize(args.quantize)
+
+    if args.artifact:
+        # AOT path: config comes from the artifact; no model code runs
+        from multimodal_context_reasoning_tpu.serving.aot import AOTScorer
+
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(args.artifact, "artifact.json")) as f:
+            cfg = ModCRConfig.from_json(_json.dumps(_json.load(f)["config"]))
+        feats = load_image_features(
+            args.img_feat_file, cfg.global_encoder.img_feature_dim
+        )
+        bert, rob = load_tokenizers(args, cfg)
+        scorer = AOTScorer(args.artifact, bert, rob, feats)
+        print(f"serving AOT artifact {args.artifact} on "
+              f"http://{args.host}:{args.port} "
+              f"(micro_batch={scorer.micro_batch})", flush=True)
+        serve(scorer, args.host, args.port)
+        return
+
     feats = load_image_features(
         args.img_feat_file, cfg.global_encoder.img_feature_dim
     )
@@ -110,6 +139,15 @@ def main(argv=None):
         params_dtype=args.params_dtype,
         use_device_table=args.device_features,
     )
+
+    if args.save_artifact:
+        from multimodal_context_reasoning_tpu.serving.aot import (
+            save_scorer_artifact,
+        )
+
+        save_scorer_artifact(args.save_artifact, scorer)
+        print(f"wrote AOT artifact to {args.save_artifact}", flush=True)
+        return
 
     generator = None
     if args.generate:

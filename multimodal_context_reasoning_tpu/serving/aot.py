@@ -1,0 +1,208 @@
+"""AOT serving artifacts: a self-contained on-disk scorer.
+
+``save_scorer_artifact`` exports a warmed :class:`ModCRScorer`'s
+fixed-shape device program (via ``jax.export`` — versioned StableHLO with
+a multi-month backward-compatibility guarantee) together with its weights
+and config into one directory; :class:`AOTScorer` stands the scoring
+service back up from that directory WITHOUT constructing ``ModCRModel``,
+re-tracing Flax, or importing any model code — load → one XLA compile
+(the persistent compile cache applies) → serve.  This is the deployment
+story the reference lacks entirely (its only inference path rebuilds the
+full torch stack per process, run_PMR_ModCR.py:283-353): a production
+serving box needs the artifact, the tokenizers, and the feature source —
+not the training framework.
+
+The artifact is weight-separable on purpose: the exported program closes
+over SHAPES only, so weights can be swapped (a newer fine-tune) without
+re-exporting, and the ~MBs of StableHLO ship independently of the ~GBs of
+params.  Layout::
+
+    artifact/
+      scorer_program.jaxexport   serialized jax.export blob
+      params.npz                 flat {path: array}; bf16 stored as fp32
+                                 carriers (lossless), dtypes in meta
+      artifact.json              ModCRConfig JSON + micro_batch + dtypes
+
+Scope: single-device programs (mesh=None) without the HBM feature table —
+the mesh/table paths keep their construction-time setup in ModCRScorer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+from multimodal_context_reasoning_tpu.data.collate import (
+    BatchSpec,
+    collate_candidates,
+)
+from multimodal_context_reasoning_tpu.data.pmr import PMRDataset
+from multimodal_context_reasoning_tpu.data.schemas import RawExample
+from multimodal_context_reasoning_tpu.serving.scorer import (
+    ModCRScorer,
+    format_score_results,
+    iter_keys,
+    pad_by_repetition,
+    run_chunked,
+)
+
+PROGRAM_FILE = "scorer_program.jaxexport"
+PARAMS_FILE = "params.npz"
+META_FILE = "artifact.json"
+_SEP = "/"
+
+
+def _flatten_params(params) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = _SEP.join(
+            p.key if hasattr(p, "key") else str(p.idx) for p in path
+        )
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_params(flat: Dict[str, np.ndarray]):
+    tree: Dict = {}
+    for key, arr in flat.items():
+        node = tree
+        parts = key.split(_SEP)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return tree
+
+
+def save_scorer_artifact(directory: str, scorer: ModCRScorer) -> None:
+    """Export a warmed single-device scorer to ``directory``."""
+    if scorer.mesh is not None or scorer.table is not None:
+        raise NotImplementedError(
+            "AOT artifacts cover the single-device, non-device-table "
+            "scorer; mesh/table serving re-places its buffers at "
+            "construction (ModCRScorer)"
+        )
+    os.makedirs(directory, exist_ok=True)
+
+    # One representative device batch at the compiled shape (the same
+    # featurize→collate path every real request takes).
+    ex = RawExample(
+        example_id="export", img_id=next(iter_keys(scorer.features)),
+        premise="export trace .",
+        answer_choices=["a ."] * scorer.config.num_labels,
+        answer_label=0,
+    )
+    real, feats = pad_by_repetition([scorer.featurize(ex)], scorer.micro_batch)
+    batch = collate_candidates(
+        [f[0] for f in feats], [f[1] for f in feats], scorer._ds.spec
+    )
+    batch.pop("label", None)
+    device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    exported = jax_export.export(scorer._fwd)(scorer.params, device_batch)
+    with open(os.path.join(directory, PROGRAM_FILE), "wb") as f:
+        f.write(exported.serialize())
+
+    # numpy's npz cannot hold ml_dtypes (bfloat16); float leaves travel as
+    # fp32 carriers (bf16→fp32 is exact) and restore from recorded dtypes
+    flat = _flatten_params(scorer.params)
+    dtypes = {k: str(v.dtype) for k, v in flat.items()}
+    carriers = {
+        k: (v.astype(np.float32)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v)
+        for k, v in flat.items()
+    }
+    np.savez(os.path.join(directory, PARAMS_FILE), **carriers)
+    with open(os.path.join(directory, META_FILE), "w") as f:
+        json.dump(
+            {
+                "config": json.loads(scorer.config.to_json()),
+                "micro_batch": scorer.micro_batch,
+                "param_dtypes": dtypes,
+                "batch_keys": sorted(batch.keys()),
+            },
+            f, indent=2,
+        )
+
+
+class AOTScorer:
+    """The :class:`ModCRScorer` protocol (featurize / score_featurized /
+    micro_batch / score) reloaded from an artifact directory — no Flax
+    model construction or tracing; drop-in for the HTTP server and the
+    MicroBatcher."""
+
+    def __init__(
+        self,
+        directory: str,
+        bert_tokenizer,
+        roberta_tokenizer,
+        image_features,
+        *,
+        warm: bool = True,
+    ):
+        with open(os.path.join(directory, META_FILE)) as f:
+            meta = json.load(f)
+        self.config = ModCRConfig.from_json(json.dumps(meta["config"]))
+        self.micro_batch = int(meta["micro_batch"])
+        self.features = image_features
+
+        flat = dict(np.load(os.path.join(directory, PARAMS_FILE)))
+        dtypes = meta["param_dtypes"]
+        flat = {
+            k: (v.astype(jnp.dtype(dtypes[k]))
+                if str(v.dtype) != dtypes[k] else v)
+            for k, v in flat.items()
+        }
+        self.params = jax.device_put(_unflatten_params(flat))
+
+        with open(os.path.join(directory, PROGRAM_FILE), "rb") as f:
+            exported = jax_export.deserialize(f.read())
+        self._fwd = jax.jit(exported.call)
+
+        spec = BatchSpec(
+            text_len=self.config.text_len, img_len=self.config.img_len,
+            roberta_len=self.config.roberta_len,
+            num_labels=self.config.num_labels,
+            img_feature_dim=self.config.global_encoder.img_feature_dim,
+        )
+        self._ds = PMRDataset(
+            [], image_features, bert_tokenizer, roberta_tokenizer,
+            spec=spec, max_chunks=self.config.max_chunks,
+        )
+        if warm:
+            ex = RawExample(
+                example_id="warm", img_id=next(iter_keys(image_features)),
+                premise="warm up .",
+                answer_choices=["a ."] * self.config.num_labels,
+                answer_label=0,
+            )
+            self.score([ex])
+
+    def featurize(self, ex: RawExample):
+        return self._ds.featurize(ex), self._ds.get_image(ex)
+
+    def score_featurized(
+        self, feats: Sequence, example_ids: Sequence[str]
+    ) -> List[Dict]:
+        real = len(feats)
+        if real == 0:
+            return []
+        real, feats = pad_by_repetition(feats, self.micro_batch)
+        batch = collate_candidates(
+            [f[0] for f in feats], [f[1] for f in feats], self._ds.spec
+        )
+        batch.pop("label", None)
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        logits = np.asarray(
+            self._fwd(self.params, device_batch), np.float32
+        )[:real]
+        return format_score_results(logits, example_ids)
+
+    def score(self, examples: Sequence[RawExample]) -> List[Dict]:
+        return run_chunked(self, examples)

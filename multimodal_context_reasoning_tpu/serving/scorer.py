@@ -37,6 +37,24 @@ def pad_by_repetition(feats: Sequence, micro_batch: int):
     return real, feats
 
 
+def format_score_results(
+    logits: np.ndarray, example_ids: Sequence[str]
+) -> List[Dict]:
+    """Logits [real, K] → the /score response rows (prediction, logits,
+    softmax probs). Shared by ModCRScorer and the AOT artifact scorer."""
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    return [
+        {
+            "example_id": eid,
+            "prediction": int(np.argmax(lg)),
+            "logits": [float(x) for x in lg],
+            "probs": [float(x) for x in pr],
+        }
+        for eid, lg, pr in zip(example_ids, logits, probs)
+    ]
+
+
 def run_chunked(endpoint, examples: Sequence[RawExample], *, chunk_kwargs=None):
     """Score any number of examples through an endpoint exposing the
     ``featurize`` / ``score_featurized`` / ``micro_batch`` protocol (the
@@ -219,17 +237,7 @@ class ModCRScorer:
         logits = np.asarray(
             self._fwd(self.params, device_batch), np.float32,
         )[:real]
-        probs = np.exp(logits - logits.max(-1, keepdims=True))
-        probs = probs / probs.sum(-1, keepdims=True)
-        return [
-            {
-                "example_id": eid,
-                "prediction": int(np.argmax(lg)),
-                "logits": [float(x) for x in lg],
-                "probs": [float(x) for x in pr],
-            }
-            for eid, lg, pr in zip(example_ids, logits, probs)
-        ]
+        return format_score_results(logits, example_ids)
 
     def score(self, examples: Sequence[RawExample]) -> List[Dict]:
         """Score any number of examples; internally chunks to the static

@@ -1,0 +1,154 @@
+"""AOT serving artifact: export → reload → identical scores, no model code.
+
+The artifact must reproduce the live scorer's logits bit-for-bit (same
+program, same weights), work as a drop-in behind the HTTP server's
+MicroBatcher, and support weight swapping without re-export (the program
+closes over shapes only).
+"""
+
+import json
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+from multimodal_context_reasoning_tpu.data.collate import (
+    BatchSpec,
+    collate_candidates,
+)
+from multimodal_context_reasoning_tpu.data.pmr import PMRDataset
+from multimodal_context_reasoning_tpu.data.schemas import ImageFeatures, RawExample
+from multimodal_context_reasoning_tpu.data.tokenization import (
+    HashTokenizer,
+    RobertaHashTokenizer,
+)
+from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+from multimodal_context_reasoning_tpu.serving.aot import (
+    AOTScorer,
+    save_scorer_artifact,
+)
+from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
+
+
+def _example(i):
+    return RawExample(
+        example_id=f"e{i}", img_id=f"img-{i % 4}",
+        premise="they are friends .",
+        answer_choices=["hug .", "fight .", "leave .", "sing ."],
+        answer_label=None,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    import jax.numpy as jnp
+
+    cfg = ModCRConfig.tiny()
+    rng = np.random.default_rng(0)
+    feats = {
+        f"img-{i}": ImageFeatures(
+            features=rng.normal(
+                size=(5, cfg.global_encoder.img_feature_dim)
+            ).astype(np.float32),
+            num_regions=5,
+        )
+        for i in range(4)
+    }
+    bert = HashTokenizer(vocab_size=cfg.global_encoder.vocab_size)
+    rob = RobertaHashTokenizer(vocab_size=cfg.roberta.vocab_size)
+    spec = BatchSpec(
+        text_len=cfg.text_len, img_len=cfg.img_len,
+        roberta_len=cfg.roberta_len,
+        img_feature_dim=cfg.global_encoder.img_feature_dim,
+    )
+    ds = PMRDataset([], feats, bert, rob, spec=spec, max_chunks=cfg.max_chunks)
+    ex = RawExample("w", "img-0", "warm .", ["a ."] * 4, 0)
+    batch = collate_candidates([ds.featurize(ex)], [ds.get_image(ex)], spec)
+    model = ModCRModel(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in batch.items()}
+    )
+    scorer = ModCRScorer(cfg, params, bert, rob, feats, micro_batch=2)
+
+    art_dir = str(tmp_path_factory.mktemp("artifact"))
+    save_scorer_artifact(art_dir, scorer)
+    aot = AOTScorer(art_dir, bert, rob, feats)
+    return scorer, aot, art_dir, (bert, rob, feats)
+
+
+class TestArtifactRoundTrip:
+    def test_logits_bit_identical(self, setup):
+        scorer, aot, _, _ = setup
+        examples = [_example(i) for i in range(3)]
+        live = scorer.score(examples)
+        reloaded = aot.score(examples)
+        assert [r["example_id"] for r in reloaded] == ["e0", "e1", "e2"]
+        for a, b in zip(live, reloaded):
+            np.testing.assert_array_equal(
+                np.asarray(a["logits"], np.float32),
+                np.asarray(b["logits"], np.float32),
+            )
+            assert a["prediction"] == b["prediction"]
+
+    def test_params_committed_and_dtypes_restored(self, setup):
+        scorer, aot, _, _ = setup
+        live = jax.tree_util.tree_leaves(scorer.params)
+        art = jax.tree_util.tree_leaves(aot.params)
+        assert len(live) == len(art)
+        for l, a in zip(live, art):
+            assert isinstance(a, jax.Array)
+            assert l.dtype == a.dtype
+            assert l.shape == a.shape
+
+    def test_weight_swap_without_reexport(self, setup):
+        """The program closes over shapes only: swapped weights change the
+        scores without touching the serialized blob."""
+        scorer, aot, art_dir, (bert, rob, feats) = setup
+        zeroed = jax.tree_util.tree_map(
+            lambda a: np.zeros_like(np.asarray(a)), scorer.params
+        )
+        aot2 = AOTScorer.__new__(AOTScorer)
+        aot2.__dict__.update(aot.__dict__)
+        aot2.params = jax.device_put(zeroed)
+        base = aot.score([_example(0)])[0]["logits"]
+        swapped = aot2.score([_example(0)])[0]["logits"]
+        assert not np.allclose(base, swapped)
+        # all-zero weights → identical candidate logits
+        np.testing.assert_allclose(
+            swapped, [swapped[0]] * len(swapped), rtol=0, atol=1e-6
+        )
+
+    def test_serves_behind_http_microbatcher(self, setup):
+        _, aot, _, _ = setup
+        from multimodal_context_reasoning_tpu.serving.server import serve
+
+        server = serve(aot, port=8499, block=False, batching=True)
+        try:
+            body = json.dumps({
+                "examples": [{
+                    "example_id": "h0", "img_id": "img-0",
+                    "premise": "they are friends .",
+                    "answer_choices": ["hug .", "fight .", "leave .", "sing ."],
+                }]
+            }).encode()
+            req = urllib.request.Request(
+                "http://127.0.0.1:8499/score", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                assert r.status == 200
+                out = json.loads(r.read())
+            assert out["results"][0]["example_id"] == "h0"
+            assert len(out["results"][0]["logits"]) == 4
+        finally:
+            server.modcr_close()
+
+    def test_mesh_and_table_modes_refused(self, setup):
+        scorer, _, _, _ = setup
+        scorer_like = ModCRScorer.__new__(ModCRScorer)
+        scorer_like.__dict__.update(scorer.__dict__)
+        scorer_like.mesh = object()
+        with pytest.raises(NotImplementedError):
+            save_scorer_artifact("/tmp/never-written", scorer_like)

@@ -259,6 +259,52 @@ class TestTrainToServeLifecycle:
         assert 0.0 <= acc <= 1.0
 
 
+class TestAOTArtifactCLI:
+    def test_save_then_serve_artifact(
+        self, feature_pickle, tmp_path, monkeypatch
+    ):
+        """`serve --save_artifact` exports the warmed scorer; `serve
+        --artifact` stands the service back up from the directory (config
+        included) without model construction."""
+        from multimodal_context_reasoning_tpu.cli import serve as serve_cli
+        from multimodal_context_reasoning_tpu.serving.aot import AOTScorer
+
+        art = tmp_path / "artifact"
+        serve_cli.main([
+            "--img_feat_file", feature_pickle, "--tiny",
+            "--micro_batch", "2", "--save_artifact", str(art),
+        ])
+        import os
+
+        assert os.path.exists(art / "scorer_program.jaxexport")
+        assert os.path.exists(art / "params.npz")
+        assert os.path.exists(art / "artifact.json")
+
+        captured = {}
+        monkeypatch.setattr(
+            "multimodal_context_reasoning_tpu.serving.server.serve",
+            lambda scorer, host, port, **kw: captured.update(scorer=scorer),
+        )
+        serve_cli.main([
+            "--img_feat_file", feature_pickle, "--artifact", str(art),
+        ])
+        sc = captured["scorer"]
+        assert isinstance(sc, AOTScorer)
+        assert sc.micro_batch == 2
+        rows = [json.loads(l) for l in open(PMR_VAL)][:2]
+        res = sc.score([
+            RawExample(
+                example_id=str(d["total_id"]), img_id=str(d["img_id"]),
+                premise="they are friends .",
+                answer_choices=["hug .", "fight .", "run .", "sing ."],
+                answer_label=None,
+            )
+            for d in rows
+        ])
+        assert len(res) == 2
+        assert all(np.all(np.isfinite(r["logits"])) for r in res)
+
+
 class TestRunVCRTrain:
     def test_vcr_delegation_end_to_end(self, tmp_path):
         """run_vcr: default grad-accum 4 + RoBERTa-body freeze through the
