@@ -52,6 +52,12 @@ def main(argv=None):
     p.add_argument("--save_artifact", default="",
                    help="after warming the scorer, export it as an AOT "
                         "artifact to this directory and exit")
+    p.add_argument("--gen_artifact", default="",
+                   help="serve POST /generate from an AOT generator "
+                        "artifact directory (greedy fused program)")
+    p.add_argument("--save_gen_artifact", default="",
+                   help="with --generate: export the warmed generator as "
+                        "an AOT artifact to this directory and exit")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
 
@@ -83,10 +89,12 @@ def main(argv=None):
         )
         bert, rob = load_tokenizers(args, cfg)
         scorer = AOTScorer(args.artifact, bert, rob, feats)
+        generator = _load_gen_artifact(args, feats)
         print(f"serving AOT artifact {args.artifact} on "
               f"http://{args.host}:{args.port} "
-              f"(micro_batch={scorer.micro_batch})", flush=True)
-        serve(scorer, args.host, args.port)
+              f"(micro_batch={scorer.micro_batch}"
+              f"{', /generate on' if generator else ''})", flush=True)
+        serve(scorer, args.host, args.port, generator=generator)
         return
 
     feats = load_image_features(
@@ -149,13 +157,69 @@ def main(argv=None):
         print(f"wrote AOT artifact to {args.save_artifact}", flush=True)
         return
 
-    generator = None
-    if args.generate:
+    generator = _load_gen_artifact(args, feats)
+    if generator is None and args.generate:
         generator = _build_generator(args, cfg, bert, feats)
+        if args.save_gen_artifact:
+            from multimodal_context_reasoning_tpu.serving.aot import (
+                save_generator_artifact,
+            )
+
+            save_generator_artifact(args.save_gen_artifact, generator)
+            print(f"wrote AOT generator artifact to "
+                  f"{args.save_gen_artifact}", flush=True)
+            return
     print(f"serving on http://{args.host}:{args.port} "
           f"(micro_batch={args.micro_batch}"
           f"{', /generate on' if generator else ''})", flush=True)
     serve(scorer, args.host, args.port, generator=generator)
+
+
+def _load_gen_artifact(args, feats):
+    """/generate from an AOT generator artifact when --gen_artifact is set
+    (returns None otherwise).  Tokenizers are built from the ARTIFACT's
+    recorded vocab sizes, not the scorer's config — the two families'
+    vocabularies differ, and out-of-range ids are the silent-NaN trap
+    (CLAUDE.md).  The GPT tokenizer must map the rationale markers to the
+    artifact's recorded ids — AOTGenerator validates."""
+    if not args.gen_artifact:
+        return None
+    import json as _json
+    import os as _os
+
+    from multimodal_context_reasoning_tpu.data.tokenization import (
+        HashTokenizer,
+    )
+    from multimodal_context_reasoning_tpu.serving.aot import AOTGenerator
+
+    with open(_os.path.join(args.gen_artifact, "artifact.json")) as f:
+        meta = _json.load(f)
+    if args.bert_tokenizer_dir:
+        from transformers import AutoTokenizer
+
+        from multimodal_context_reasoning_tpu.data.tokenization import (
+            HFTokenizer,
+        )
+
+        bert_tok = HFTokenizer(
+            AutoTokenizer.from_pretrained(args.bert_tokenizer_dir)
+        )
+    else:
+        bert_tok = HashTokenizer(vocab_size=int(meta["bert_vocab_size"]))
+    if args.gpt_tokenizer_dir:
+        from transformers import AutoTokenizer
+
+        from multimodal_context_reasoning_tpu.data.tokenization import (
+            HFTokenizer,
+        )
+
+        gpt_tok = HFTokenizer(
+            AutoTokenizer.from_pretrained(args.gpt_tokenizer_dir),
+            add_det_tokens=False,
+        )
+    else:
+        gpt_tok = HashTokenizer(vocab_size=int(meta["gpt_vocab_size"]))
+    return AOTGenerator(args.gen_artifact, bert_tok, gpt_tok, feats)
 
 
 def _build_generator(args, cfg, bert, feats):

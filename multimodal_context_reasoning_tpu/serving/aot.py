@@ -54,6 +54,7 @@ from multimodal_context_reasoning_tpu.serving.scorer import (
 )
 
 PROGRAM_FILE = "scorer_program.jaxexport"
+GEN_PROGRAM_FILE = "generator_program.jaxexport"
 PARAMS_FILE = "params.npz"
 META_FILE = "artifact.json"
 _SEP = "/"
@@ -122,6 +123,7 @@ def save_scorer_artifact(directory: str, scorer: ModCRScorer) -> None:
     with open(os.path.join(directory, META_FILE), "w") as f:
         json.dump(
             {
+                "kind": "scorer",
                 "config": json.loads(scorer.config.to_json()),
                 "micro_batch": scorer.micro_batch,
                 "param_dtypes": dtypes,
@@ -148,6 +150,11 @@ class AOTScorer:
     ):
         with open(os.path.join(directory, META_FILE)) as f:
             meta = json.load(f)
+        if meta.get("kind", "scorer") != "scorer":
+            raise ValueError(
+                f"{directory} holds a {meta.get('kind')!r} artifact, "
+                "not a scorer"
+            )
         self.config = ModCRConfig.from_json(json.dumps(meta["config"]))
         self.micro_batch = int(meta["micro_batch"])
         self.features = image_features
@@ -205,4 +212,181 @@ class AOTScorer:
         return format_score_results(logits, example_ids)
 
     def score(self, examples: Sequence[RawExample]) -> List[Dict]:
+        return run_chunked(self, examples)
+
+
+# ---------------------------------------------------------------------------
+# Rationale generator artifacts (the /generate endpoint)
+# ---------------------------------------------------------------------------
+
+
+def save_generator_artifact(directory: str, generator) -> None:
+    """Export a warmed greedy :class:`RationaleGenerator` to ``directory``.
+
+    Covers the fused classify+decode program (mode="greedy" — the sampling
+    path takes a per-call rng and stays construction-time).  The rationale
+    marker ids are recorded so the reload can verify its tokenizer maps
+    ``<|b_rtnl|>``/``<|e_rtnl|>`` identically: the EOS id is baked into
+    the traced program.
+    """
+    import dataclasses
+
+    if generator.mesh is not None:
+        raise NotImplementedError("AOT generator artifacts are single-device")
+    if generator.mode != "greedy":
+        raise NotImplementedError(
+            "only the fused greedy program exports; sampling takes a "
+            "per-call rng (serve it live)"
+        )
+    os.makedirs(directory, exist_ok=True)
+
+    ex = RawExample(
+        example_id="export", img_id=next(iter_keys(generator.features)),
+        premise="export trace .",
+        answer_choices=["a ."] * generator.num_labels,
+        answer_label=0,
+    )
+    real, feats = pad_by_repetition(
+        [generator.featurize(ex)], generator.micro_batch
+    )
+    batch = collate_candidates(
+        [f[0] for f in feats], [f[1] for f in feats], generator.spec
+    )
+    batch.pop("label", None)
+    device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    Q = generator.micro_batch
+    prompt = jnp.full((Q, 1), generator._b_rtnl, jnp.int32)
+    prompt_len = jnp.ones((Q,), jnp.int32)
+
+    exported = jax_export.export(generator._fused_greedy)(
+        generator.params, device_batch, prompt, prompt_len
+    )
+    with open(os.path.join(directory, GEN_PROGRAM_FILE), "wb") as f:
+        f.write(exported.serialize())
+
+    flat = _flatten_params(generator.params)
+    dtypes = {k: str(v.dtype) for k, v in flat.items()}
+    carriers = {
+        k: (v.astype(np.float32)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v)
+        for k, v in flat.items()
+    }
+    np.savez(os.path.join(directory, PARAMS_FILE), **carriers)
+    with open(os.path.join(directory, META_FILE), "w") as f:
+        json.dump(
+            {
+                "kind": "generator",
+                "spec": dataclasses.asdict(generator.spec),
+                "num_labels": generator.num_labels,
+                "max_chunks": generator.max_chunks,
+                "micro_batch": generator.micro_batch,
+                "max_rationale_len": generator.max_rationale_len,
+                "b_rtnl": generator._b_rtnl,
+                "e_rtnl": generator._e_rtnl,
+                "gpt_vocab_size": generator._gpt2_cfg.vocab_size,
+                "bert_vocab_size": generator.encoder_config.vocab_size,
+                "param_dtypes": dtypes,
+            },
+            f, indent=2,
+        )
+
+
+class AOTGenerator:
+    """The greedy :class:`RationaleGenerator` protocol reloaded from an
+    artifact directory — drop-in for the server's /generate MicroBatcher."""
+
+    def __init__(
+        self,
+        directory: str,
+        bert_tokenizer,
+        gpt_tokenizer,
+        image_features,
+        *,
+        warm: bool = True,
+    ):
+        from multimodal_context_reasoning_tpu.data.rationale import (
+            B_RTNL,
+            E_RTNL,
+        )
+        from multimodal_context_reasoning_tpu.data.vcr import VCRDataset
+        from multimodal_context_reasoning_tpu.serving.generator import (
+            format_generate_results,
+        )
+
+        self._format = format_generate_results
+        with open(os.path.join(directory, META_FILE)) as f:
+            meta = json.load(f)
+        if meta.get("kind") != "generator":
+            raise ValueError(
+                f"{directory} holds a {meta.get('kind')!r} artifact, "
+                "not a generator"
+            )
+        self.micro_batch = int(meta["micro_batch"])
+        self.num_labels = int(meta["num_labels"])
+        self.features = image_features
+        self.gpt_tokenizer = gpt_tokenizer
+        self._b_rtnl = int(meta["b_rtnl"])
+        self._e_rtnl = int(meta["e_rtnl"])
+        # the EOS id is baked into the traced program — the reload
+        # tokenizer must map the markers to the SAME ids
+        b_id, e_id = gpt_tokenizer.convert_tokens_to_ids([B_RTNL, E_RTNL])
+        if (int(b_id), int(e_id)) != (self._b_rtnl, self._e_rtnl):
+            raise ValueError(
+                f"tokenizer maps rationale markers to ({int(b_id)}, "
+                f"{int(e_id)}) but the artifact was exported with "
+                f"({self._b_rtnl}, {self._e_rtnl})"
+            )
+
+        flat = dict(np.load(os.path.join(directory, PARAMS_FILE)))
+        dt = meta["param_dtypes"]
+        flat = {
+            k: (v.astype(jnp.dtype(dt[k])) if str(v.dtype) != dt[k] else v)
+            for k, v in flat.items()
+        }
+        self.params = jax.device_put(_unflatten_params(flat))
+
+        with open(os.path.join(directory, GEN_PROGRAM_FILE), "rb") as f:
+            exported = jax_export.deserialize(f.read())
+        self._fused = jax.jit(exported.call)
+
+        self.spec = BatchSpec(**meta["spec"])
+        self._ds = VCRDataset(
+            [], image_features, bert_tokenizer, gpt_tokenizer,
+            spec=self.spec, max_chunks=int(meta["max_chunks"]),
+        )
+        if warm:
+            ex = RawExample(
+                example_id="warm", img_id=next(iter_keys(image_features)),
+                premise="warm up .",
+                answer_choices=["a ."] * self.num_labels, answer_label=0,
+            )
+            self.generate([ex])
+
+    def featurize(self, ex: RawExample):
+        return self._ds.featurize(ex), self._ds.get_image(ex)
+
+    def score_featurized(
+        self, feats: Sequence, example_ids: Sequence[str]
+    ) -> List[Dict]:
+        real = len(feats)
+        if real == 0:
+            return []
+        real, feats = pad_by_repetition(feats, self.micro_batch)
+        batch = collate_candidates(
+            [f[0] for f in feats], [f[1] for f in feats], self.spec
+        )
+        batch.pop("label", None)
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        Q = self.micro_batch
+        prompt = jnp.full((Q, 1), self._b_rtnl, jnp.int32)
+        prompt_len = jnp.ones((Q,), jnp.int32)
+        probs, tokens, lengths = self._fused(
+            self.params, device_batch, prompt, prompt_len
+        )
+        return self._format(
+            probs, tokens, lengths, real, example_ids,
+            e_rtnl=self._e_rtnl, gpt_tokenizer=self.gpt_tokenizer,
+        )
+
+    def generate(self, examples: Sequence[RawExample]) -> List[Dict]:
         return run_chunked(self, examples)

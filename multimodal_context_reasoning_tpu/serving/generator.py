@@ -64,6 +64,36 @@ def decode_ids(tokenizer, ids: Sequence[int]) -> Optional[str]:
     return None
 
 
+def format_generate_results(
+    probs, tokens, lengths, real: int, example_ids: Sequence[str],
+    *, e_rtnl: int, gpt_tokenizer,
+) -> List[Dict]:
+    """Device outputs → /generate response rows.  Shared by
+    :class:`RationaleGenerator` and the AOT artifact generator."""
+    probs = np.asarray(probs, np.float32)[:real]
+    tokens = np.asarray(tokens)[:real]
+    lengths = np.asarray(lengths)[:real]
+    results = []
+    for eid, pr, tok, ln in zip(example_ids, probs, tokens, lengths):
+        ids = [int(t) for t in tok[: int(ln)]]
+        if ids and ids[-1] == e_rtnl:
+            ids = ids[:-1]  # the stop marker is an internal sentinel,
+                            # not part of the user-facing rationale
+        res = {
+            "example_id": eid,
+            "prediction": int(np.argmax(pr)),
+            # per-candidate P(true) (binary_to_mp, v10.py:363-373) —
+            # independent binary heads, not a 4-way softmax
+            "probs": [float(x) for x in pr],
+            "rationale_ids": ids,
+        }
+        text = decode_ids(gpt_tokenizer, ids)
+        if text is not None:
+            res["rationale_text"] = text
+        results.append(res)
+    return results
+
+
 class RationaleGenerator:
     def __init__(
         self,
@@ -294,25 +324,7 @@ class RationaleGenerator:
                 pad_id=self._gpt2_cfg.pad_token_id, rng=rng,
             )
 
-        probs = np.asarray(probs, np.float32)[:real]
-        tokens = np.asarray(tokens)[:real]
-        lengths = np.asarray(lengths)[:real]
-        results = []
-        for eid, pr, tok, ln in zip(example_ids, probs, tokens, lengths):
-            ids = [int(t) for t in tok[: int(ln)]]
-            if ids and ids[-1] == self._e_rtnl:
-                ids = ids[:-1]  # the stop marker is an internal sentinel,
-                                # not part of the user-facing rationale
-            res = {
-                "example_id": eid,
-                "prediction": int(np.argmax(pr)),
-                # per-candidate P(true) (binary_to_mp, v10.py:363-373) —
-                # independent binary heads, not a 4-way softmax
-                "probs": [float(x) for x in pr],
-                "rationale_ids": ids,
-            }
-            text = decode_ids(self.gpt_tokenizer, ids)
-            if text is not None:
-                res["rationale_text"] = text
-            results.append(res)
-        return results
+        return format_generate_results(
+            probs, tokens, lengths, real, example_ids,
+            e_rtnl=self._e_rtnl, gpt_tokenizer=self.gpt_tokenizer,
+        )

@@ -152,3 +152,106 @@ class TestArtifactRoundTrip:
         scorer_like.mesh = object()
         with pytest.raises(NotImplementedError):
             save_scorer_artifact("/tmp/never-written", scorer_like)
+
+
+class TestGeneratorArtifact:
+    @pytest.fixture(scope="class")
+    def gen_setup(self, tmp_path_factory):
+        import jax.numpy as jnp
+
+        from multimodal_context_reasoning_tpu.core.config import (
+            ChunkAlignConfig,
+            EncoderConfig,
+            GPT2Config,
+        )
+        from multimodal_context_reasoning_tpu.models.rationale import (
+            RationaleModel,
+            rationale_init_batch,
+        )
+        from multimodal_context_reasoning_tpu.serving.aot import (
+            AOTGenerator,
+            save_generator_artifact,
+        )
+        from multimodal_context_reasoning_tpu.serving.generator import (
+            RationaleGenerator,
+        )
+
+        enc = EncoderConfig(
+            vocab_size=256, hidden_size=32, num_hidden_layers=4,
+            num_attention_heads=4, intermediate_size=64,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            max_position_embeddings=128, img_feature_dim=20,
+        )
+        sched = ChunkAlignConfig(chunk_layers_end=1, full_layers_end=2)
+        gpt = GPT2Config(
+            vocab_size=128, n_positions=128, n_embd=32, n_layer=2, n_head=4,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0, pad_token_id=0,
+        )
+        spec = BatchSpec(text_len=16, img_len=6, roberta_len=16,
+                         img_feature_dim=20)
+        rng = np.random.default_rng(0)
+        feats = {
+            f"img-{i}": ImageFeatures(
+                features=rng.normal(size=(5, 20)).astype(np.float32),
+                num_regions=5,
+            )
+            for i in range(4)
+        }
+        bert = HashTokenizer(vocab_size=256)
+        gpt_tok = HashTokenizer(vocab_size=128)
+        model = RationaleModel(enc, sched, gpt, max_chunks=8)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in
+             rationale_init_batch(enc, gpt, spec, expl_len=6).items()},
+        )
+        live = RationaleGenerator(
+            enc, sched, gpt, params, bert, gpt_tok, feats,
+            spec=spec, max_chunks=8, micro_batch=2, max_rationale_len=8,
+        )
+        art = str(tmp_path_factory.mktemp("gen_artifact"))
+        save_generator_artifact(art, live)
+        reloaded = AOTGenerator(art, bert, gpt_tok, feats)
+        return live, reloaded, art
+
+    def test_generate_identical(self, gen_setup):
+        live, reloaded, _ = gen_setup
+        exs = [
+            RawExample(f"q{i}", f"img-{i}", "two people talk .",
+                       ["hug .", "fight .", "leave .", "sing ."], None)
+            for i in range(3)  # 3 questions over micro_batch=2: chunk+pad
+        ]
+        a = live.generate(exs)
+        b = reloaded.generate(exs)
+        assert [r["example_id"] for r in b] == ["q0", "q1", "q2"]
+        for x, y in zip(a, b):
+            assert x["prediction"] == y["prediction"]
+            assert x["rationale_ids"] == y["rationale_ids"]
+            np.testing.assert_array_equal(
+                np.asarray(x["probs"], np.float32),
+                np.asarray(y["probs"], np.float32),
+            )
+
+    def test_marker_mismatch_refused(self, gen_setup):
+        from multimodal_context_reasoning_tpu.serving.aot import AOTGenerator
+
+        live, _, art = gen_setup
+        other_tok = HashTokenizer(vocab_size=64)  # maps markers differently
+        _, _, feats = None, None, live.features
+        bert = HashTokenizer(vocab_size=256)
+        with pytest.raises(ValueError, match="marker"):
+            AOTGenerator(art, bert, other_tok, feats, warm=False)
+
+    def test_kind_crosscheck(self, gen_setup, setup):
+        from multimodal_context_reasoning_tpu.serving.aot import AOTGenerator
+
+        _, _, gen_art = gen_setup
+        scorer, _, scorer_art, (bert, rob, feats) = setup
+        with pytest.raises(ValueError, match="artifact"):
+            AOTScorer(gen_art, bert, rob, feats, warm=False)
+        live_gen, _, _ = gen_setup
+        with pytest.raises(ValueError, match="artifact"):
+            AOTGenerator(
+                scorer_art, bert,
+                HashTokenizer(vocab_size=128), feats, warm=False,
+            )

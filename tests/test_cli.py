@@ -304,6 +304,59 @@ class TestAOTArtifactCLI:
         assert len(res) == 2
         assert all(np.all(np.isfinite(r["logits"])) for r in res)
 
+    def test_generator_artifact_roundtrip(
+        self, feature_pickle, tmp_path, monkeypatch
+    ):
+        """`--generate --save_gen_artifact` exports the fused greedy
+        program; `--artifact --gen_artifact` serves both endpoints from
+        artifacts alone."""
+        import os
+
+        from multimodal_context_reasoning_tpu.cli import serve as serve_cli
+        from multimodal_context_reasoning_tpu.serving.aot import (
+            AOTGenerator,
+            AOTScorer,
+        )
+
+        art = tmp_path / "scorer_art"
+        gen_art = tmp_path / "gen_art"
+        serve_cli.main([
+            "--img_feat_file", feature_pickle, "--tiny",
+            "--micro_batch", "2", "--save_artifact", str(art),
+        ])
+        serve_cli.main([
+            "--img_feat_file", feature_pickle, "--tiny", "--generate",
+            "--gen_micro_batch", "2", "--max_rationale_len", "8",
+            "--save_gen_artifact", str(gen_art),
+        ])
+        assert os.path.exists(gen_art / "generator_program.jaxexport")
+
+        captured = {}
+        monkeypatch.setattr(
+            "multimodal_context_reasoning_tpu.serving.server.serve",
+            lambda scorer, host, port, **kw: captured.update(
+                scorer=scorer, **kw),
+        )
+        serve_cli.main([
+            "--img_feat_file", feature_pickle,
+            "--artifact", str(art), "--gen_artifact", str(gen_art),
+        ])
+        assert isinstance(captured["scorer"], AOTScorer)
+        gen = captured["generator"]
+        assert isinstance(gen, AOTGenerator)
+        rows = [json.loads(l) for l in open(PMR_VAL)][:1]
+        res = gen.generate([
+            RawExample(
+                example_id="g0", img_id=str(rows[0]["img_id"]),
+                premise="they are friends .",
+                answer_choices=["hug .", "fight .", "run .", "sing ."],
+                answer_label=None,
+            )
+        ])
+        assert len(res) == 1
+        assert res[0]["prediction"] in range(4)
+        assert isinstance(res[0]["rationale_ids"], list)
+
 
 class TestRunVCRTrain:
     def test_vcr_delegation_end_to_end(self, tmp_path):
