@@ -1,0 +1,147 @@
+"""Serving standup time: live construction vs AOT artifact reload.
+
+Measures, at FULL size on the real chip, the wall time from process-start
+state to "first request served" for (a) the live path — ModCRModel
+construction, jitted init, scorer warmup — and (b) the AOT artifact path —
+load program + weights, compile, warmup — plus a score-equality check.
+The artifact path skips python model construction, param init, and Flax
+tracing; XLA compile is shared via the persistent cache, so the delta
+isolates what the artifact actually removes from a serving restart.
+
+    python scripts/bench_aot.py --micro_batch 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(f"[bench-aot] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--micro_batch", type=int, default=8)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--keep_dir", default="",
+                   help="write the artifact here instead of a tempdir")
+    args = p.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/modcr_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+    from multimodal_context_reasoning_tpu.data.collate import (
+        BatchSpec,
+        collate_candidates,
+    )
+    from multimodal_context_reasoning_tpu.data.pmr import PMRDataset
+    from multimodal_context_reasoning_tpu.data.schemas import (
+        ImageFeatures,
+        RawExample,
+    )
+    from multimodal_context_reasoning_tpu.data.tokenization import (
+        HashTokenizer,
+        RobertaHashTokenizer,
+    )
+    from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+    from multimodal_context_reasoning_tpu.serving.aot import (
+        AOTScorer,
+        save_scorer_artifact,
+    )
+    from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
+
+    cfg = (ModCRConfig.tiny() if args.tiny
+           else ModCRConfig(compute_alignment=False)
+           .with_dtype(args.compute_dtype))
+    rng = np.random.default_rng(0)
+    feats = {
+        f"img-{i}": ImageFeatures(
+            features=rng.normal(size=(
+                12, cfg.global_encoder.img_feature_dim)).astype(np.float32),
+            num_regions=12,
+        ) for i in range(8)
+    }
+    bert = HashTokenizer(vocab_size=cfg.global_encoder.vocab_size)
+    rob = RobertaHashTokenizer(vocab_size=cfg.roberta.vocab_size)
+    ex = RawExample("e0", "img-0", "they are friends .",
+                    ["hug .", "fight .", "leave .", "sing ."], None)
+
+    # ---- live path: model construction + jitted init + warmup
+    log("live path: construct + init + warm...")
+    t0 = time.perf_counter()
+    spec = BatchSpec(
+        text_len=cfg.text_len, img_len=cfg.img_len,
+        roberta_len=cfg.roberta_len,
+        img_feature_dim=cfg.global_encoder.img_feature_dim,
+    )
+    ds = PMRDataset([], feats, bert, rob, spec=spec, max_chunks=cfg.max_chunks)
+    warm_ex = RawExample("w", "img-0", "warm .", ["a ."] * 4, 0)
+    batch = collate_candidates(
+        [ds.featurize(warm_ex)] * args.micro_batch,
+        [ds.get_image(warm_ex)] * args.micro_batch, spec)
+    model = ModCRModel(cfg)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in batch.items()})
+    scorer = ModCRScorer(cfg, params, bert, rob, feats,
+                         micro_batch=args.micro_batch, warm=True)
+    live_s = time.perf_counter() - t0
+    log(f"live standup: {live_s:.1f}s")
+    live_scores = scorer.score([ex])
+
+    # ---- export (one-time cost, reported separately)
+    art_dir = args.keep_dir or tempfile.mkdtemp(prefix="modcr_aot_")
+    t0 = time.perf_counter()
+    save_scorer_artifact(art_dir, scorer)
+    export_s = time.perf_counter() - t0
+    size_mb = sum(
+        os.path.getsize(os.path.join(art_dir, f))
+        for f in os.listdir(art_dir)
+    ) / 1e6
+    log(f"export: {export_s:.1f}s, artifact {size_mb:.0f} MB")
+
+    # ---- artifact path: load + compile + warmup
+    log("artifact path: load + warm...")
+    t0 = time.perf_counter()
+    aot = AOTScorer(art_dir, bert, rob, feats, warm=True)
+    aot_s = time.perf_counter() - t0
+    log(f"artifact standup: {aot_s:.1f}s")
+
+    aot_scores = aot.score([ex])
+    match = bool(np.allclose(
+        live_scores[0]["logits"], aot_scores[0]["logits"], atol=0, rtol=0))
+    if not args.keep_dir:
+        shutil.rmtree(art_dir, ignore_errors=True)
+
+    print(json.dumps({
+        "live_standup_s": round(live_s, 1),
+        "artifact_standup_s": round(aot_s, 1),
+        "speedup": round(live_s / max(aot_s, 1e-9), 2),
+        "export_s": round(export_s, 1),
+        "artifact_mb": round(size_mb, 1),
+        "scores_bit_identical": match,
+        "micro_batch": args.micro_batch,
+    }))
+
+
+if __name__ == "__main__":
+    main()
