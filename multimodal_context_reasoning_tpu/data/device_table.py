@@ -42,6 +42,9 @@ class DeviceFeatureTable:
         *,
         img_len: int,
         dtype: str = "bfloat16",
+        capacity: int = None,  # pad the row axis up to a fixed size so a
+                               # shape-baked program (AOT artifact) can be
+                               # fed from a smaller feature set
     ):
         keys = sorted(image_features.keys())
         if not keys:
@@ -51,6 +54,14 @@ class DeviceFeatureTable:
             )
         self.row = {k: i for i, k in enumerate(keys)}
         n = len(keys)
+        if capacity is not None:
+            if n > capacity:
+                raise ValueError(
+                    f"{n} image features exceed the table capacity "
+                    f"{capacity} baked into the compiled program — "
+                    "re-export the artifact against the larger set"
+                )
+            n = capacity
         table = None
         mask = np.zeros((n, img_len), np.float32)
         for i, k in enumerate(keys):
@@ -67,7 +78,9 @@ class DeviceFeatureTable:
         self.mask = jnp.asarray(mask, jnp.float32)  # [n, I]
 
     @classmethod
-    def for_config(cls, image_features, cfg) -> "DeviceFeatureTable":
+    def for_config(
+        cls, image_features, cfg, *, capacity: int = None
+    ) -> "DeviceFeatureTable":
         """Build with geometry + dtype derived from a ``ModCRConfig`` —
         the table dtype must follow the compute dtype (the forward casts
         features there anyway; a bf16 table under fp32 compute would
@@ -77,6 +90,7 @@ class DeviceFeatureTable:
             img_len=cfg.img_len,
             dtype="bfloat16"
             if cfg.global_encoder.dtype == "bfloat16" else "float32",
+            capacity=capacity,
         )
 
     def place(self, mesh) -> None:

@@ -23,8 +23,12 @@ params.  Layout::
                                  carriers (lossless), dtypes in meta
       artifact.json              ModCRConfig JSON + micro_batch + dtypes
 
-Scope: single-device programs (mesh=None) without the HBM feature table —
-the mesh/table paths keep their construction-time setup in ModCRScorer.
+Scope: single-device programs (mesh=None); mesh serving re-places its
+buffers at construction and stays live-only.  Device-table scorers DO
+export: the resident ``feat_table``/``feat_mask_table`` travel as program
+*inputs* (like the weights — swap the feature pack without re-export, up
+to the row capacity baked into the program's shapes), and the reload
+rebuilds the table from whatever feature source the serving box mounts.
 """
 
 from __future__ import annotations
@@ -83,11 +87,10 @@ def _unflatten_params(flat: Dict[str, np.ndarray]):
 
 def save_scorer_artifact(directory: str, scorer: ModCRScorer) -> None:
     """Export a warmed single-device scorer to ``directory``."""
-    if scorer.mesh is not None or scorer.table is not None:
+    if scorer.mesh is not None:
         raise NotImplementedError(
-            "AOT artifacts cover the single-device, non-device-table "
-            "scorer; mesh/table serving re-places its buffers at "
-            "construction (ModCRScorer)"
+            "AOT artifacts cover single-device scorers; mesh serving "
+            "re-places its buffers at construction (ModCRScorer)"
         )
     os.makedirs(directory, exist_ok=True)
 
@@ -100,11 +103,23 @@ def save_scorer_artifact(directory: str, scorer: ModCRScorer) -> None:
         answer_label=0,
     )
     real, feats = pad_by_repetition([scorer.featurize(ex)], scorer.micro_batch)
-    batch = collate_candidates(
-        [f[0] for f in feats], [f[1] for f in feats], scorer._ds.spec
-    )
+    if scorer.table is not None:
+        # table mode: the image leg is an int32 row id; the resident table
+        # buffers are traced as INPUTS so they stay swap-able at reload
+        batch = collate_candidates([f[0] for f in feats], None, scorer._ds.spec)
+        batch["img_row"] = np.repeat(
+            np.asarray([f[1] for f in feats], np.int32),
+            scorer.config.num_labels,
+        )
+    else:
+        batch = collate_candidates(
+            [f[0] for f in feats], [f[1] for f in feats], scorer._ds.spec
+        )
     batch.pop("label", None)
     device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    if scorer.table is not None:
+        device_batch["feat_table"] = scorer.table.table
+        device_batch["feat_mask_table"] = scorer.table.mask
 
     exported = jax_export.export(scorer._fwd)(scorer.params, device_batch)
     with open(os.path.join(directory, PROGRAM_FILE), "wb") as f:
@@ -128,6 +143,13 @@ def save_scorer_artifact(directory: str, scorer: ModCRScorer) -> None:
                 "micro_batch": scorer.micro_batch,
                 "param_dtypes": dtypes,
                 "batch_keys": sorted(batch.keys()),
+                "use_device_table": scorer.table is not None,
+                # row capacity is baked into the program's input shapes —
+                # the reload pads its (possibly smaller) feature set to it
+                "table_capacity": (
+                    int(scorer.table.table.shape[0])
+                    if scorer.table is not None else 0
+                ),
             },
             f, indent=2,
         )
@@ -182,6 +204,18 @@ class AOTScorer:
             [], image_features, bert_tokenizer, roberta_tokenizer,
             spec=spec, max_chunks=self.config.max_chunks,
         )
+        self.table = None
+        if meta.get("use_device_table"):
+            from multimodal_context_reasoning_tpu.data.device_table import (
+                DeviceFeatureTable,
+            )
+
+            # rebuilt from THIS box's feature source, padded to the row
+            # capacity the exported program was traced with
+            self.table = DeviceFeatureTable.for_config(
+                image_features, self.config,
+                capacity=int(meta["table_capacity"]),
+            )
         if warm:
             ex = RawExample(
                 example_id="warm", img_id=next(iter_keys(image_features)),
@@ -192,6 +226,8 @@ class AOTScorer:
             self.score([ex])
 
     def featurize(self, ex: RawExample):
+        if self.table is not None:
+            return self._ds.featurize(ex), self.table.row_for(ex.img_id)
         return self._ds.featurize(ex), self._ds.get_image(ex)
 
     def score_featurized(
@@ -201,11 +237,24 @@ class AOTScorer:
         if real == 0:
             return []
         real, feats = pad_by_repetition(feats, self.micro_batch)
-        batch = collate_candidates(
-            [f[0] for f in feats], [f[1] for f in feats], self._ds.spec
-        )
+        if self.table is not None:
+            batch = collate_candidates(
+                [f[0] for f in feats], None, self._ds.spec
+            )
+            batch["img_row"] = np.repeat(
+                np.asarray([f[1] for f in feats], np.int32),
+                self.config.num_labels,
+            )
+        else:
+            batch = collate_candidates(
+                [f[0] for f in feats], [f[1] for f in feats], self._ds.spec
+            )
         batch.pop("label", None)
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.table is not None:
+            # the SAME resident buffers every call — nothing re-transfers
+            device_batch["feat_table"] = self.table.table
+            device_batch["feat_mask_table"] = self.table.mask
         logits = np.asarray(
             self._fwd(self.params, device_batch), np.float32
         )[:real]

@@ -145,13 +145,75 @@ class TestArtifactRoundTrip:
         finally:
             server.modcr_close()
 
-    def test_mesh_and_table_modes_refused(self, setup):
+    def test_mesh_mode_refused(self, setup):
         scorer, _, _, _ = setup
         scorer_like = ModCRScorer.__new__(ModCRScorer)
         scorer_like.__dict__.update(scorer.__dict__)
         scorer_like.mesh = object()
         with pytest.raises(NotImplementedError):
             save_scorer_artifact("/tmp/never-written", scorer_like)
+
+
+class TestDeviceTableArtifact:
+    """Table-mode scorers export too: the resident feat tables travel as
+    program INPUTS, so the reload rebuilds them from its own feature
+    source (padded to the row capacity baked into the program)."""
+
+    @pytest.fixture(scope="class")
+    def table_setup(self, setup, tmp_path_factory):
+        scorer, _, _, (bert, rob, feats) = setup
+        table_scorer = ModCRScorer(
+            scorer.config, scorer.params, bert, rob, feats,
+            micro_batch=2, use_device_table=True,
+        )
+        art_dir = str(tmp_path_factory.mktemp("table_artifact"))
+        save_scorer_artifact(art_dir, table_scorer)
+        return table_scorer, art_dir, (bert, rob, feats)
+
+    def test_round_trip_matches_live_and_plain(self, setup, table_setup):
+        plain_scorer, _, _, _ = setup
+        table_scorer, art_dir, (bert, rob, feats) = table_setup
+        aot = AOTScorer(art_dir, bert, rob, feats)
+        assert aot.table is not None
+        examples = [_example(i) for i in range(3)]
+        live = table_scorer.score(examples)
+        reloaded = aot.score(examples)
+        plain = plain_scorer.score(examples)
+        for a, b, c in zip(live, reloaded, plain):
+            np.testing.assert_array_equal(
+                np.asarray(a["logits"], np.float32),
+                np.asarray(b["logits"], np.float32),
+            )
+            # table-vs-plain tolerance: the table stores what the forward
+            # would cast anyway (for_config matches the compute dtype)
+            np.testing.assert_allclose(
+                np.asarray(b["logits"], np.float32),
+                np.asarray(c["logits"], np.float32),
+                rtol=0, atol=1e-5,
+            )
+
+    def test_smaller_feature_pack_pads_to_capacity(self, table_setup):
+        """A serving box mounting FEWER images than the export still loads:
+        the rebuilt table zero-pads to the program's baked row capacity."""
+        table_scorer, art_dir, (bert, rob, feats) = table_setup
+        subset = {k: feats[k] for k in ["img-0", "img-1", "img-2"]}
+        aot = AOTScorer(art_dir, bert, rob, subset)
+        assert aot.table.table.shape[0] == table_scorer.table.table.shape[0]
+        live = table_scorer.score([_example(1)])[0]["logits"]
+        sub = aot.score([_example(1)])[0]["logits"]
+        np.testing.assert_array_equal(
+            np.asarray(live, np.float32), np.asarray(sub, np.float32)
+        )
+
+    def test_oversized_feature_pack_refused(self, table_setup):
+        _, art_dir, (bert, rob, feats) = table_setup
+        import copy
+
+        bigger = dict(feats)
+        for i in range(4, 7):
+            bigger[f"img-{i}"] = copy.deepcopy(feats["img-0"])
+        with pytest.raises(ValueError, match="capacity"):
+            AOTScorer(art_dir, bert, rob, bigger, warm=False)
 
 
 class TestGeneratorArtifact:

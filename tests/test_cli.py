@@ -304,6 +304,45 @@ class TestAOTArtifactCLI:
         assert len(res) == 2
         assert all(np.all(np.isfinite(r["logits"])) for r in res)
 
+    def test_save_then_serve_table_artifact(
+        self, feature_pickle, tmp_path, monkeypatch
+    ):
+        """`serve --device_features --save_artifact` exports a table-mode
+        scorer; the reload rebuilds the HBM table from the mounted feature
+        file and serves ids-only batches."""
+        from multimodal_context_reasoning_tpu.cli import serve as serve_cli
+        from multimodal_context_reasoning_tpu.serving.aot import AOTScorer
+
+        art = tmp_path / "table_artifact"
+        serve_cli.main([
+            "--img_feat_file", feature_pickle, "--tiny",
+            "--micro_batch", "2", "--device_features",
+            "--save_artifact", str(art),
+        ])
+        captured = {}
+        monkeypatch.setattr(
+            "multimodal_context_reasoning_tpu.serving.server.serve",
+            lambda scorer, host, port, **kw: captured.update(scorer=scorer),
+        )
+        serve_cli.main([
+            "--img_feat_file", feature_pickle, "--artifact", str(art),
+        ])
+        sc = captured["scorer"]
+        assert isinstance(sc, AOTScorer)
+        assert sc.table is not None
+        rows = [json.loads(l) for l in open(PMR_VAL)][:2]
+        res = sc.score([
+            RawExample(
+                example_id=str(d["total_id"]), img_id=str(d["img_id"]),
+                premise="they are friends .",
+                answer_choices=["hug .", "fight .", "run .", "sing ."],
+                answer_label=None,
+            )
+            for d in rows
+        ])
+        assert len(res) == 2
+        assert all(np.all(np.isfinite(r["logits"])) for r in res)
+
     def test_generator_artifact_roundtrip(
         self, feature_pickle, tmp_path, monkeypatch
     ):
