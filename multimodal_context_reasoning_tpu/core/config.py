@@ -195,6 +195,58 @@ class GPT2Config:
 
 
 @dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    """Frozen CLIP tower hyperparameters (ViT-B/16 defaults).
+
+    The reference loads OpenAI CLIP ViT-B/16 at import time
+    (run_PMR_ModCR.py:450) and its ``clip_model`` / ``clip_model_r``
+    ablations call ``encode_image`` / ``encode_text`` inside forward
+    (modeling_ensemble.py:804-806,833-835).  models/clip.py rebuilds both
+    towers in Flax; this config pins their geometry.
+    """
+
+    # Vision tower (ViT-B/16): 224² pixels, 16² patches -> 14×14 grid.
+    image_size: int = 224
+    patch_size: int = 16
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12  # OpenAI convention: vision_width // 64
+    # Text tower: 77-token causal transformer.
+    vocab_size: int = 49408
+    context_length: int = 77
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+    # Joint embedding space (both towers project here).
+    embed_dim: int = 512
+    # Compute dtype; params stay fp32.  The reference runs CLIP in fp16 on
+    # CUDA (clip.load default) and casts features to fp32 at the ensemble
+    # fusion point (modeling_ensemble.py:810,846) — the clip_ensemble
+    # modules reproduce that cast point.
+    dtype: str = "float32"
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @classmethod
+    def tiny(cls) -> "CLIPConfig":
+        """Small geometry for tests (same topology: cls token, pre-LN,
+        causal text tower, joint projection)."""
+        return cls(
+            image_size=32, patch_size=8, vision_width=32, vision_layers=2,
+            vision_heads=4, vocab_size=512, context_length=16, text_width=32,
+            text_layers=2, text_heads=4, embed_dim=24,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class ModCRConfig:
     """Full ModCR composite (Abstract_Specific, modeling_ensemble.py:424-539)."""
 

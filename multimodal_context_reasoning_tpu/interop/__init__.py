@@ -2,6 +2,7 @@
 
 from multimodal_context_reasoning_tpu.interop.torch_bridge import (  # noqa: F401
     convert_bert_encoder,
+    convert_clip,
     convert_gpt2,
     convert_roberta,
     delete_keys_matching,

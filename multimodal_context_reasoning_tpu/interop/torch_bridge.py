@@ -329,6 +329,132 @@ def convert_gpt2(sd: StateDict, num_layers: int) -> Dict[str, Any]:
     return tree
 
 
+def _normalize_hf_clip(sd: StateDict) -> StateDict:
+    """HF ``CLIPModel`` layout → OpenAI layout (the one convert_clip reads).
+
+    HF splits the fused in_proj into q/k/v and stores the projections as
+    Linear ``[out, in]``; OpenAI packs ``in_proj_weight`` [3W, W] and keeps
+    ``proj``/``text_projection`` as plain ``[in, out]`` matrices.
+    """
+    out: StateDict = {}
+
+    def block(src_prefix: str, dst_prefix: str) -> None:
+        i = 0
+        while f"{src_prefix}.layers.{i}.layer_norm1.weight" in sd:
+            s = f"{src_prefix}.layers.{i}."
+            d = f"{dst_prefix}.resblocks.{i}."
+            out[d + "ln_1.weight"] = sd[s + "layer_norm1.weight"]
+            out[d + "ln_1.bias"] = sd[s + "layer_norm1.bias"]
+            out[d + "attn.in_proj_weight"] = np.concatenate(
+                [sd[s + f"self_attn.{n}_proj.weight"] for n in "qkv"], axis=0)
+            out[d + "attn.in_proj_bias"] = np.concatenate(
+                [sd[s + f"self_attn.{n}_proj.bias"] for n in "qkv"], axis=0)
+            out[d + "attn.out_proj.weight"] = sd[s + "self_attn.out_proj.weight"]
+            out[d + "attn.out_proj.bias"] = sd[s + "self_attn.out_proj.bias"]
+            out[d + "ln_2.weight"] = sd[s + "layer_norm2.weight"]
+            out[d + "ln_2.bias"] = sd[s + "layer_norm2.bias"]
+            out[d + "mlp.c_fc.weight"] = sd[s + "mlp.fc1.weight"]
+            out[d + "mlp.c_fc.bias"] = sd[s + "mlp.fc1.bias"]
+            out[d + "mlp.c_proj.weight"] = sd[s + "mlp.fc2.weight"]
+            out[d + "mlp.c_proj.bias"] = sd[s + "mlp.fc2.bias"]
+            i += 1
+
+    out["visual.conv1.weight"] = _require(
+        sd, "vision_model.embeddings.patch_embedding.weight")
+    out["visual.class_embedding"] = _require(
+        sd, "vision_model.embeddings.class_embedding")
+    out["visual.positional_embedding"] = _require(
+        sd, "vision_model.embeddings.position_embedding.weight")
+    # "pre_layrnorm" is HF's historical typo, kept for compatibility there.
+    out["visual.ln_pre.weight"] = _require(
+        sd, "vision_model.pre_layrnorm.weight",
+        "vision_model.pre_layernorm.weight")
+    out["visual.ln_pre.bias"] = _require(
+        sd, "vision_model.pre_layrnorm.bias",
+        "vision_model.pre_layernorm.bias")
+    block("vision_model.encoder", "visual.transformer")
+    out["visual.ln_post.weight"] = _require(
+        sd, "vision_model.post_layernorm.weight")
+    out["visual.ln_post.bias"] = _require(
+        sd, "vision_model.post_layernorm.bias")
+    out["visual.proj"] = _t(_require(sd, "visual_projection.weight"))
+
+    out["token_embedding.weight"] = _require(
+        sd, "text_model.embeddings.token_embedding.weight")
+    out["positional_embedding"] = _require(
+        sd, "text_model.embeddings.position_embedding.weight")
+    block("text_model.encoder", "transformer")
+    out["ln_final.weight"] = _require(sd, "text_model.final_layer_norm.weight")
+    out["ln_final.bias"] = _require(sd, "text_model.final_layer_norm.bias")
+    out["text_projection"] = _t(_require(sd, "text_projection.weight"))
+    out["logit_scale"] = _require(sd, "logit_scale")
+    return out
+
+
+def convert_clip(sd: StateDict) -> Dict[str, Any]:
+    """CLIP checkpoint → Flax ``models/clip.py::CLIP`` params.
+
+    Accepts both the OpenAI published layout (``visual.conv1.weight``,
+    ``…resblocks.N.attn.in_proj_weight``, ``text_projection``, …— what
+    ``clip.load('ViT-B/16')`` holds, run_PMR_ModCR.py:450) and the HF
+    ``CLIPModel`` layout (``vision_model.…``, split q/k/v projections).
+    OpenAI ships fp16 weights; everything is cast to fp32 here (params are
+    always fp32 in this framework, compute dtype is a config knob).
+    """
+    if "visual.conv1.weight" not in sd and \
+            "vision_model.embeddings.patch_embedding.weight" in sd:
+        sd = _normalize_hf_clip(sd)
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+    def blocks(prefix: str, n_guess: int = 64) -> Dict[str, Any]:
+        tree: Dict[str, Any] = {}
+        for i in range(n_guess):
+            p = f"{prefix}.resblocks.{i}."
+            if p + "ln_1.weight" not in sd:
+                break
+            tree[f"block_{i}"] = {
+                "ln_1": {"scale": sd[p + "ln_1.weight"],
+                         "bias": sd[p + "ln_1.bias"]},
+                "in_proj": {"kernel": _t(sd[p + "attn.in_proj_weight"]),
+                            "bias": sd[p + "attn.in_proj_bias"]},
+                "out_proj": {"kernel": _t(sd[p + "attn.out_proj.weight"]),
+                             "bias": sd[p + "attn.out_proj.bias"]},
+                "ln_2": {"scale": sd[p + "ln_2.weight"],
+                         "bias": sd[p + "ln_2.bias"]},
+                "mlp_c_fc": {"kernel": _t(sd[p + "mlp.c_fc.weight"]),
+                             "bias": sd[p + "mlp.c_fc.bias"]},
+                "mlp_c_proj": {"kernel": _t(sd[p + "mlp.c_proj.weight"]),
+                               "bias": sd[p + "mlp.c_proj.bias"]},
+            }
+        return tree
+
+    visual: Dict[str, Any] = {
+        # torch Conv2d OIHW [W, 3, P, P] → Flax HWIO [P, P, 3, W]
+        "conv1": {"kernel": np.ascontiguousarray(
+            _require(sd, "visual.conv1.weight").transpose(2, 3, 1, 0))},
+        "class_embedding": _require(sd, "visual.class_embedding"),
+        "positional_embedding": _require(sd, "visual.positional_embedding"),
+        "ln_pre": {"scale": _require(sd, "visual.ln_pre.weight"),
+                   "bias": _require(sd, "visual.ln_pre.bias")},
+        "ln_post": {"scale": _require(sd, "visual.ln_post.weight"),
+                    "bias": _require(sd, "visual.ln_post.bias")},
+        "proj": _require(sd, "visual.proj"),
+    }
+    visual.update(blocks("visual.transformer"))
+
+    text: Dict[str, Any] = {
+        "token_embedding": {"embedding": _require(sd, "token_embedding.weight")},
+        "positional_embedding": _require(sd, "positional_embedding"),
+        "ln_final": {"scale": _require(sd, "ln_final.weight"),
+                     "bias": _require(sd, "ln_final.bias")},
+        "text_projection": _require(sd, "text_projection"),
+    }
+    text.update(blocks("transformer"))
+
+    return {"visual": visual, "text": text,
+            "logit_scale": _require(sd, "logit_scale").reshape(())}
+
+
 def merge_into(params: Dict[str, Any], sub: Dict[str, Any],
                path: Tuple[str, ...]) -> None:
     """Graft ``sub`` into ``params['params'][*path]`` in place, checking

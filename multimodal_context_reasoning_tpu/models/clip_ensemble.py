@@ -24,12 +24,18 @@ Rebuilt variants (modeling_ensemble.py):
   ``easy_fusion``) and ``clip_model_r`` (:824-858, normalized elementwise
   product ×1000) behind ``variant=``.
 
-Feeding embeddings: store per-image CLIP vectors in the same indexed mmap
-pack as the region features (``data/feature_store.py`` /
-``cli/pack_features.py`` handle any fixed dim — use dim=512) and batch the
-per-candidate text embeddings host-side; there is deliberately no live
-CLIP tower in the framework (the reference's CLIP data hooks are
-commented-out dead code, run_PMR_ModCR.py:791-793).
+Feeding embeddings, two in-framework paths:
+
+- **precomputed** (production): per-image CLIP vectors live in the same
+  indexed mmap pack as the region features (``data/feature_store.py`` /
+  ``cli/pack_features.py`` handle any fixed dim — use dim=512), produced
+  once by ``cli/precompute_clip.py`` with the Flax tower;
+- **live** (reference semantics): :class:`ClipEndToEnd` runs the Flax
+  CLIP ViT-B/16 towers (models/clip.py) inside the forward, exactly like
+  ``clip_model``/``clip_model_r`` call ``encode_image``/``encode_text``
+  per step (modeling_ensemble.py:804-806,833-835) — including the
+  reference's features→fp32 cast point (:810-811, :846-847), reproduced
+  in the heads below.
 """
 
 from __future__ import annotations
@@ -40,6 +46,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from multimodal_context_reasoning_tpu.core.config import CLIPConfig
+from multimodal_context_reasoning_tpu.models.clip import CLIP
 from multimodal_context_reasoning_tpu.models.modcr import soft_cross_entropy
 
 
@@ -146,6 +154,9 @@ class ClipOnlyModel(nn.Module):
         if self.variant == "fusion":
             img = jnp.broadcast_to(image_emb[:, None], text_emb.shape)
             feat = jnp.concatenate([img, text_emb], axis=-1)   # raw, :810
+            # the reference casts the (fp16) fused feature to fp32 before
+            # the heads (:810-811 ``.type(torch.FloatTensor)``)
+            feat = feat.astype(jnp.float32)
             feat = nn.Dense(self.clip_dim, name="easy_fusion")(feat)
         elif self.variant == "product":
             img = image_emb / jnp.linalg.norm(image_emb, axis=-1,
@@ -153,6 +164,7 @@ class ClipOnlyModel(nn.Module):
             txt = text_emb / jnp.linalg.norm(text_emb, axis=-1,
                                              keepdims=True)
             feat = img[:, None] * txt * 1000.0                 # :843-845
+            feat = feat.astype(jnp.float32)                    # :846-847
         else:
             raise ValueError(f"unknown variant {self.variant}")
         logits = nn.Dense(1, name="classifier")(feat)[..., 0]  # [Q, K]
@@ -160,3 +172,40 @@ class ClipOnlyModel(nn.Module):
         if label is not None:
             loss = soft_cross_entropy(logits, label.reshape(Q, K))
         return ClipEnsembleOutput(loss=loss, logits=logits)
+
+
+class ClipEndToEnd(nn.Module):
+    """``clip_model`` / ``clip_model_r`` from PIXELS — the reference's
+    literal forward shape (modeling_ensemble.py:793-858): run the frozen
+    CLIP towers on the image and the K candidate texts inside the step,
+    then score with :class:`ClipOnlyModel`.
+
+    Inputs: ``pixels`` [Q, S, S, 3] (data/clip_preprocess.py), ``text_ids``
+    [Q·K, T] CLIP token ids (data/clip_tokenizer.py).  The reference's
+    ``text.squeeze(1)`` flattens its [Q, 1, 77] per-candidate rows the same
+    way (:805).  One jitted program: both towers + head fuse into a single
+    XLA computation, so per-step tower invocation costs no dispatch — but
+    for the frozen production path precompute embeddings instead
+    (cli/precompute_clip.py).
+    """
+
+    config: CLIPConfig
+    num_labels: int = 4
+    variant: str = "fusion"          # "fusion" (clip_model) | "product" (_r)
+
+    @nn.compact
+    def __call__(
+        self,
+        pixels: jnp.ndarray,         # [Q, S, S, 3]
+        text_ids: jnp.ndarray,       # [Q*K, T]
+        label: Optional[jnp.ndarray] = None,
+    ) -> ClipEnsembleOutput:
+        K = self.num_labels
+        clip = CLIP(self.config, name="clip")
+        image_emb = clip.encode_image(pixels)                  # [Q, E]
+        text_emb = clip.encode_text(text_ids).reshape(
+            pixels.shape[0], K, -1)                            # [Q, K, E]
+        return ClipOnlyModel(
+            num_labels=K, variant=self.variant,
+            clip_dim=self.config.embed_dim, name="head",
+        )(image_emb, text_emb, label)
