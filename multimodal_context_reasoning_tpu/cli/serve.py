@@ -59,6 +59,12 @@ def main(argv=None):
                    help="with --generate: export the warmed generator as "
                         "an AOT artifact to this directory and exit")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--max_queue_batches", type=int, default=8,
+                   help="back-pressure: shed (HTTP 429) beyond this many "
+                        "device batches of queued work")
+    p.add_argument("--deadline_ms", type=float, default=None,
+                   help="default per-request deadline; expired work gets "
+                        "HTTP 503 instead of waiting forever")
     args = p.parse_args(argv)
 
     from multimodal_context_reasoning_tpu.cli.common import (
@@ -94,7 +100,9 @@ def main(argv=None):
               f"http://{args.host}:{args.port} "
               f"(micro_batch={scorer.micro_batch}"
               f"{', /generate on' if generator else ''})", flush=True)
-        serve(scorer, args.host, args.port, generator=generator)
+        serve(scorer, args.host, args.port, generator=generator,
+              max_queue_batches=args.max_queue_batches,
+              default_deadline_ms=args.deadline_ms)
         return
 
     feats = load_image_features(
@@ -172,7 +180,9 @@ def main(argv=None):
     print(f"serving on http://{args.host}:{args.port} "
           f"(micro_batch={args.micro_batch}"
           f"{', /generate on' if generator else ''})", flush=True)
-    serve(scorer, args.host, args.port, generator=generator)
+    serve(scorer, args.host, args.port, generator=generator,
+          max_queue_batches=args.max_queue_batches,
+          default_deadline_ms=args.deadline_ms)
 
 
 def _load_gen_artifact(args, feats):

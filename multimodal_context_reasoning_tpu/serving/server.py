@@ -10,8 +10,15 @@ POST /generate — same body, served by a :class:`RationaleGenerator`
                  "rationale_text" when the GPT tokenizer can decode).
 GET  /healthz  — liveness.
 GET  /stats    — operational telemetry: request/example counts, recent
-                 request-latency percentiles, and the batcher's device-
-                 dispatch sizes (mean batch ≈ batching efficiency).
+                 request-latency percentiles, the batcher's device-
+                 dispatch sizes (mean batch ≈ batching efficiency), live
+                 queue depth, and shed counters.
+
+Back-pressure: the batcher's queue is bounded (``max_queue_batches``);
+when it is full new requests get **429** with a Retry-After hint instead
+of unbounded queueing, and a request whose ``deadline_ms`` (per-request
+field or server default) expires gets **503** — overload degrades to
+fast, retriable rejections, not ever-growing latency.
 
 Requests are scored through the AOT-compiled :class:`ModCRScorer` via a
 cross-request :class:`MicroBatcher` (serving/batcher.py): concurrent
@@ -31,7 +38,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from multimodal_context_reasoning_tpu.data.schemas import RawExample
-from multimodal_context_reasoning_tpu.serving.batcher import MicroBatcher
+from multimodal_context_reasoning_tpu.serving.batcher import (
+    DeadlineExceeded,
+    MicroBatcher,
+    Overloaded,
+)
 from multimodal_context_reasoning_tpu.serving.scorer import ModCRScorer
 
 
@@ -105,9 +116,16 @@ class ServerStats:
                         ("generate", self._gen_batcher)):
             if b is None:
                 continue
+            route = out.setdefault("routes", {}).setdefault(name, {})
+            route.update(
+                queue_depth=b.queue_depth(),
+                queue_capacity=b.capacity,
+                shed_rejected=b.rejected,
+                shed_expired=b.expired,
+            )
             sizes = b.telemetry()
             if sizes:
-                out.setdefault("routes", {}).setdefault(name, {}).update(
+                route.update(
                     device_dispatches=len(sizes),
                     mean_device_batch=round(sum(sizes) / len(sizes), 2),
                 )
@@ -119,11 +137,14 @@ def _make_handler(score_fn, generate_fn=None, stats: Optional[ServerStats] = Non
         def log_message(self, fmt, *args):  # quiet
             pass
 
-        def _reply(self, code: int, payload: dict) -> None:
+        def _reply(self, code: int, payload: dict,
+                   headers: Optional[dict] = None) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -169,12 +190,24 @@ def _make_handler(score_fn, generate_fn=None, stats: Optional[ServerStats] = Non
                     )
                     for i, d in enumerate(raw)
                 ]
+                deadline_ms = payload.get("deadline_ms")
                 t0 = time.perf_counter()
-                results = handler(examples)
+                results = handler(examples, deadline_ms=deadline_ms)
                 if stats is not None:
                     stats.record(route, len(examples),
                                  time.perf_counter() - t0)
                 self._reply(200, {"results": results})
+            except Overloaded as e:
+                # shed fast and retriably: the queue is at capacity
+                if stats is not None:
+                    stats.record_error()
+                self._reply(429, {"error": str(e), "retriable": True},
+                            headers={"Retry-After": "1"})
+            except DeadlineExceeded as e:
+                if stats is not None:
+                    stats.record_error()
+                self._reply(503, {"error": str(e), "retriable": True},
+                            headers={"Retry-After": "1"})
             except KeyError as e:
                 if stats is not None:
                     stats.record_error()
@@ -195,16 +228,23 @@ def serve(
     block: bool = True,
     batching: bool = True,
     max_wait_ms: float = 10.0,
+    max_queue_batches: int = 8,
+    default_deadline_ms: Optional[float] = None,
     generator=None,                 # optional serving.generator.RationaleGenerator
 ) -> Optional[ThreadingHTTPServer]:
     if batching:
-        batcher = MicroBatcher(scorer, max_wait_ms=max_wait_ms)
+        batcher = MicroBatcher(
+            scorer, max_wait_ms=max_wait_ms,
+            max_queue_batches=max_queue_batches,
+            default_deadline_ms=default_deadline_ms)
         score_fn = batcher.score
     else:
         # legacy serialized path: one lock, full-request device calls
+        # (back-pressure knobs are batcher features; this path's natural
+        # limit is the HTTP server's thread-per-connection)
         lock = threading.Lock()
 
-        def score_fn(examples):
+        def score_fn(examples, deadline_ms=None):
             with lock:
                 return scorer.score(examples)
 
@@ -216,12 +256,15 @@ def serve(
             # score_featurized protocol as the scorer, so the MicroBatcher
             # coalesces concurrent /generate requests too (up to the
             # generator's compiled micro_batch)
-            gen_batcher = MicroBatcher(generator, max_wait_ms=max_wait_ms)
+            gen_batcher = MicroBatcher(
+                generator, max_wait_ms=max_wait_ms,
+                max_queue_batches=max_queue_batches,
+                default_deadline_ms=default_deadline_ms)
             generate_fn = gen_batcher.score
         else:
             gen_lock = threading.Lock()
 
-            def generate_fn(examples):
+            def generate_fn(examples, deadline_ms=None):
                 with gen_lock:
                     return generator.generate(examples)
 
