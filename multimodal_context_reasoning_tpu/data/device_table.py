@@ -24,6 +24,8 @@ with a cross-host checksum guard — while the rest of the batch row-shards.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,7 +44,7 @@ class DeviceFeatureTable:
         *,
         img_len: int,
         dtype: str = "bfloat16",
-        capacity: int = None,  # pad the row axis up to a fixed size so a
+        capacity: Optional[int] = None,  # pad the row axis up to a fixed size so a
                                # shape-baked program (AOT artifact) can be
                                # fed from a smaller feature set
     ):

@@ -19,9 +19,25 @@ params.  Layout::
 
     artifact/
       scorer_program.jaxexport   serialized jax.export blob
+      scorer_exec.pjrt           (optional) serialized COMPILED PJRT
+                                 executable + arg treedefs
       params.npz                 flat {path: array}; bf16 stored as fp32
                                  carriers (lossless), dtypes in meta
       artifact.json              ModCRConfig JSON + micro_batch + dtypes
+                                 + executable fingerprint
+
+Two load paths, tried in order:
+
+1. **Compiled executable** (``scorer_exec.pjrt``, via
+   ``jax.experimental.serialize_executable``): when the serving box's
+   platform/device-kind/jax-version fingerprint matches the export box's,
+   standup skips XLA compilation entirely — the round-3 finding was that
+   a full-size artifact's first boot paid its own ~230 s compile because
+   deserialized StableHLO compiles under a different persistent-cache key
+   than the live jit (BENCHMARKS.md "AOT serving artifacts").
+2. **StableHLO** (``scorer_program.jaxexport``): portable fallback — any
+   fingerprint mismatch, load error, or backend without executable
+   serialization falls through to load → one XLA compile → serve.
 
 Scope: single-device programs (mesh=None); mesh serving re-places its
 buffers at construction and stays live-only.  Device-table scorers DO
@@ -43,14 +59,12 @@ import numpy as np
 from jax import export as jax_export
 
 from multimodal_context_reasoning_tpu.core.config import ModCRConfig
-from multimodal_context_reasoning_tpu.data.collate import (
-    BatchSpec,
-    collate_candidates,
-)
+from multimodal_context_reasoning_tpu.data.collate import BatchSpec
 from multimodal_context_reasoning_tpu.data.pmr import PMRDataset
 from multimodal_context_reasoning_tpu.data.schemas import RawExample
 from multimodal_context_reasoning_tpu.serving.scorer import (
     ModCRScorer,
+    build_host_batch,
     format_score_results,
     iter_keys,
     pad_by_repetition,
@@ -59,9 +73,98 @@ from multimodal_context_reasoning_tpu.serving.scorer import (
 
 PROGRAM_FILE = "scorer_program.jaxexport"
 GEN_PROGRAM_FILE = "generator_program.jaxexport"
+EXEC_FILE = "scorer_exec.pjrt"
+GEN_EXEC_FILE = "generator_exec.pjrt"
 PARAMS_FILE = "params.npz"
 META_FILE = "artifact.json"
 _SEP = "/"
+
+
+def _device_fingerprint() -> Dict[str, object]:
+    """What a serialized PJRT executable is valid for: same platform +
+    chip kind + (single) device count + jax/XLA version."""
+    d = jax.devices()[0]
+    return {
+        "platform": d.platform,
+        "device_kind": d.device_kind,
+        "n_devices": 1,
+        "jax_version": jax.__version__,
+    }
+
+
+def _save_executable(path: str, jitted, args) -> Optional[Dict[str, object]]:
+    """AOT-compile ``jitted`` at ``args``, serialize the PJRT executable
+    (+ arg treedefs), and **self-verify**: reload the serialized blob and
+    require it to reproduce the live program's outputs on ``args``.
+    Returns the fingerprint to record in meta, or None when the backend
+    can't serialize or the reload doesn't reproduce (the artifact then
+    ships StableHLO only — e.g. XLA:CPU's executable AOT is partial; the
+    TPU deployment target round-trips cleanly).
+
+    On a warmed scorer the ``.lower().compile()`` is near-free: the live
+    jit already compiled this exact program, so XLA's caches hit.
+    """
+    import pickle
+    import sys
+
+    from jax.experimental import serialize_executable as _se
+
+    try:
+        compiled = jitted.lower(*args).compile()
+        payload, in_tree, out_tree = _se.serialize(compiled)
+        with open(path, "wb") as f:
+            pickle.dump({"payload": payload, "in_tree": in_tree,
+                         "out_tree": out_tree}, f)
+        fp = _device_fingerprint()
+        loaded = _load_executable(path, fp)
+        if loaded is None:
+            raise RuntimeError("serialized executable failed to reload")
+        want = jax.tree_util.tree_leaves(jitted(*args))
+        got = jax.tree_util.tree_leaves(loaded(*args))
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g),
+                                       rtol=1e-5, atol=1e-5)
+        return fp
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"[aot] executable fast path disabled "
+              f"({type(e).__name__}: {e}); artifact carries StableHLO only",
+              file=sys.stderr)
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        return None
+
+
+def _load_executable(path: str, expect: Optional[Dict[str, object]]):
+    """Deserialize a compiled executable when the fingerprint matches this
+    box; None (→ StableHLO fallback) on mismatch or any load failure."""
+    import pickle
+    import sys
+
+    from jax.experimental import serialize_executable as _se
+
+    if not expect or not os.path.exists(path):
+        return None
+    here = _device_fingerprint()
+    if here != expect:
+        print(f"[aot] executable fingerprint mismatch (artifact {expect} "
+              f"vs here {here}); falling back to StableHLO compile",
+              file=sys.stderr)
+        return None
+    try:
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        # single-device program: pin execution to device 0 (without this,
+        # a multi-device process — e.g. the 8-device virtual test mesh —
+        # tries to load it sharded across every local device)
+        return _se.deserialize_and_load(
+            blob["payload"], blob["in_tree"], blob["out_tree"],
+            execution_devices=[jax.devices()[0]])
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"[aot] executable load failed ({type(e).__name__}: {e}); "
+              f"falling back to StableHLO compile", file=sys.stderr)
+        return None
 
 
 def _flatten_params(params) -> Dict[str, np.ndarray]:
@@ -103,19 +206,10 @@ def save_scorer_artifact(directory: str, scorer: ModCRScorer) -> None:
         answer_label=0,
     )
     real, feats = pad_by_repetition([scorer.featurize(ex)], scorer.micro_batch)
-    if scorer.table is not None:
-        # table mode: the image leg is an int32 row id; the resident table
-        # buffers are traced as INPUTS so they stay swap-able at reload
-        batch = collate_candidates([f[0] for f in feats], None, scorer._ds.spec)
-        batch["img_row"] = np.repeat(
-            np.asarray([f[1] for f in feats], np.int32),
-            scorer.config.num_labels,
-        )
-    else:
-        batch = collate_candidates(
-            [f[0] for f in feats], [f[1] for f in feats], scorer._ds.spec
-        )
-    batch.pop("label", None)
+    # table mode: the image leg is an int32 row id; the resident table
+    # buffers are traced as INPUTS so they stay swap-able at reload
+    batch = build_host_batch(feats, scorer._ds.spec, scorer.config.num_labels,
+                             table_mode=scorer.table is not None)
     device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
     if scorer.table is not None:
         device_batch["feat_table"] = scorer.table.table
@@ -124,6 +218,13 @@ def save_scorer_artifact(directory: str, scorer: ModCRScorer) -> None:
     exported = jax_export.export(scorer._fwd)(scorer.params, device_batch)
     with open(os.path.join(directory, PROGRAM_FILE), "wb") as f:
         f.write(exported.serialize())
+
+    # compiled-executable fast path: near-free here (the warmed jit already
+    # compiled this program), saves the whole XLA compile at standup on a
+    # fingerprint-matching box
+    exec_meta = _save_executable(
+        os.path.join(directory, EXEC_FILE), scorer._fwd,
+        (scorer.params, device_batch))
 
     # numpy's npz cannot hold ml_dtypes (bfloat16); float leaves travel as
     # fp32 carriers (bf16→fp32 is exact) and restore from recorded dtypes
@@ -142,7 +243,10 @@ def save_scorer_artifact(directory: str, scorer: ModCRScorer) -> None:
                 "config": json.loads(scorer.config.to_json()),
                 "micro_batch": scorer.micro_batch,
                 "param_dtypes": dtypes,
-                "batch_keys": sorted(batch.keys()),
+                # the traced program's REAL input signature (ADVICE r3:
+                # in table mode that includes the resident table buffers)
+                "batch_keys": sorted(device_batch.keys()),
+                "executable": exec_meta,
                 "use_device_table": scorer.table is not None,
                 # row capacity is baked into the program's input shapes —
                 # the reload pads its (possibly smaller) feature set to it
@@ -190,9 +294,16 @@ class AOTScorer:
         }
         self.params = jax.device_put(_unflatten_params(flat))
 
-        with open(os.path.join(directory, PROGRAM_FILE), "rb") as f:
-            exported = jax_export.deserialize(f.read())
-        self._fwd = jax.jit(exported.call)
+        # fast path: the serialized compiled executable (no XLA compile at
+        # all) when this box's fingerprint matches the export box's;
+        # portable StableHLO fallback otherwise
+        self._fwd = _load_executable(
+            os.path.join(directory, EXEC_FILE), meta.get("executable"))
+        self.loaded_from_executable = self._fwd is not None
+        if self._fwd is None:
+            with open(os.path.join(directory, PROGRAM_FILE), "rb") as f:
+                exported = jax_export.deserialize(f.read())
+            self._fwd = jax.jit(exported.call)
 
         spec = BatchSpec(
             text_len=self.config.text_len, img_len=self.config.img_len,
@@ -237,19 +348,9 @@ class AOTScorer:
         if real == 0:
             return []
         real, feats = pad_by_repetition(feats, self.micro_batch)
-        if self.table is not None:
-            batch = collate_candidates(
-                [f[0] for f in feats], None, self._ds.spec
-            )
-            batch["img_row"] = np.repeat(
-                np.asarray([f[1] for f in feats], np.int32),
-                self.config.num_labels,
-            )
-        else:
-            batch = collate_candidates(
-                [f[0] for f in feats], [f[1] for f in feats], self._ds.spec
-            )
-        batch.pop("label", None)
+        batch = build_host_batch(feats, self._ds.spec,
+                                 self.config.num_labels,
+                                 table_mode=self.table is not None)
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.table is not None:
             # the SAME resident buffers every call — nothing re-transfers
@@ -298,10 +399,8 @@ def save_generator_artifact(directory: str, generator) -> None:
     real, feats = pad_by_repetition(
         [generator.featurize(ex)], generator.micro_batch
     )
-    batch = collate_candidates(
-        [f[0] for f in feats], [f[1] for f in feats], generator.spec
-    )
-    batch.pop("label", None)
+    batch = build_host_batch(feats, generator.spec, generator.num_labels,
+                             table_mode=False)
     device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
     Q = generator.micro_batch
     prompt = jnp.full((Q, 1), generator._b_rtnl, jnp.int32)
@@ -312,6 +411,10 @@ def save_generator_artifact(directory: str, generator) -> None:
     )
     with open(os.path.join(directory, GEN_PROGRAM_FILE), "wb") as f:
         f.write(exported.serialize())
+
+    exec_meta = _save_executable(
+        os.path.join(directory, GEN_EXEC_FILE), generator._fused_greedy,
+        (generator.params, device_batch, prompt, prompt_len))
 
     flat = _flatten_params(generator.params)
     dtypes = {k: str(v.dtype) for k, v in flat.items()}
@@ -335,6 +438,7 @@ def save_generator_artifact(directory: str, generator) -> None:
                 "gpt_vocab_size": generator._gpt2_cfg.vocab_size,
                 "bert_vocab_size": generator.encoder_config.vocab_size,
                 "param_dtypes": dtypes,
+                "executable": exec_meta,
             },
             f, indent=2,
         )
@@ -394,9 +498,13 @@ class AOTGenerator:
         }
         self.params = jax.device_put(_unflatten_params(flat))
 
-        with open(os.path.join(directory, GEN_PROGRAM_FILE), "rb") as f:
-            exported = jax_export.deserialize(f.read())
-        self._fused = jax.jit(exported.call)
+        self._fused = _load_executable(
+            os.path.join(directory, GEN_EXEC_FILE), meta.get("executable"))
+        self.loaded_from_executable = self._fused is not None
+        if self._fused is None:
+            with open(os.path.join(directory, GEN_PROGRAM_FILE), "rb") as f:
+                exported = jax_export.deserialize(f.read())
+            self._fused = jax.jit(exported.call)
 
         self.spec = BatchSpec(**meta["spec"])
         self._ds = VCRDataset(
@@ -421,10 +529,8 @@ class AOTGenerator:
         if real == 0:
             return []
         real, feats = pad_by_repetition(feats, self.micro_batch)
-        batch = collate_candidates(
-            [f[0] for f in feats], [f[1] for f in feats], self.spec
-        )
-        batch.pop("label", None)
+        batch = build_host_batch(feats, self.spec, self.num_labels,
+                                 table_mode=False)
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         Q = self.micro_batch
         prompt = jnp.full((Q, 1), self._b_rtnl, jnp.int32)

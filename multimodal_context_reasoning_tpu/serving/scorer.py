@@ -22,6 +22,26 @@ from multimodal_context_reasoning_tpu.data.schemas import ImageFeatures, RawExam
 from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
 
 
+def build_host_batch(feats: Sequence, spec, num_labels: int,
+                     *, table_mode: bool) -> Dict[str, np.ndarray]:
+    """Collated numpy batch (label dropped) for a padded micro-batch of
+    ``featurize`` outputs.  Table mode replaces the inline ``img_feat``/
+    ``img_mask`` arrays with the int32 ``img_row`` id per candidate row
+    (data/device_table.py).  ONE shared implementation for
+    :meth:`ModCRScorer.score_featurized`, ``AOTScorer.score_featurized``
+    and ``save_scorer_artifact`` so the export trace and the serve paths
+    cannot drift in batch layout (ADVICE r3)."""
+    if table_mode:
+        batch = collate_candidates([f[0] for f in feats], None, spec)
+        batch["img_row"] = np.repeat(
+            np.asarray([f[1] for f in feats], np.int32), num_labels)
+    else:
+        batch = collate_candidates(
+            [f[0] for f in feats], [f[1] for f in feats], spec)
+    batch.pop("label", None)
+    return batch
+
+
 def pad_by_repetition(feats: Sequence, micro_batch: int):
     """Validate + right-pad a featurized chunk to the static micro-batch by
     repeating the last entry.  Single source of the pad contract shared by
@@ -203,19 +223,9 @@ class ModCRScorer:
         if real == 0:
             return []
         real, feats = pad_by_repetition(feats, self.micro_batch)
-        if self.table is not None:
-            batch = collate_candidates(
-                [f[0] for f in feats], None, self._ds.spec
-            )
-            batch["img_row"] = np.repeat(
-                np.asarray([f[1] for f in feats], np.int32),
-                self.config.num_labels,
-            )
-        else:
-            batch = collate_candidates(
-                [f[0] for f in feats], [f[1] for f in feats], self._ds.spec
-            )
-        batch.pop("label", None)
+        batch = build_host_batch(feats, self._ds.spec,
+                                 self.config.num_labels,
+                                 table_mode=self.table is not None)
         if self.mesh is not None:
             from multimodal_context_reasoning_tpu.parallel.partition import (
                 batch_shardings,

@@ -317,3 +317,113 @@ class TestGeneratorArtifact:
                 scorer_art, bert,
                 HashTokenizer(vocab_size=128), feats, warm=False,
             )
+
+
+class TestExecutableFastPath:
+    """Round-4: the artifact can carry the serialized COMPILED PJRT
+    executable; a fingerprint-matching box then skips the XLA compile at
+    standup entirely.  Export SELF-VERIFIES the fast path (serialize →
+    reload → reproduce) and drops it when the backend can't round-trip
+    (XLA:CPU AOT is partial; the TPU target round-trips) — so these tests
+    exercise both branches wherever they run."""
+
+    def test_artifact_fast_path_or_clean_fallback(self, setup):
+        import os
+
+        scorer, aot, art_dir, _ = setup
+        with open(f"{art_dir}/artifact.json") as f:
+            meta = json.load(f)
+        if meta["executable"] is not None:
+            # backend round-tripped at export: reload MUST use it
+            assert aot.loaded_from_executable
+            assert os.path.exists(f"{art_dir}/scorer_exec.pjrt")
+        else:
+            # self-verification rejected it: no stale blob, clean fallback
+            assert not aot.loaded_from_executable
+            assert not os.path.exists(f"{art_dir}/scorer_exec.pjrt")
+        live = scorer.score([_example(i) for i in range(2)])
+        reloaded = aot.score([_example(i) for i in range(2)])
+        for a, b in zip(live, reloaded):
+            np.testing.assert_allclose(a["logits"], b["logits"],
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_meta_batch_keys_record_real_signature(self, setup):
+        """ADVICE r3: batch_keys must list the traced program's actual
+        inputs (in table mode that includes the resident table buffers)."""
+        _, _, art_dir, _ = setup
+        with open(f"{art_dir}/artifact.json") as f:
+            meta = json.load(f)
+        assert "img_feat" in meta["batch_keys"]
+        assert "label" not in meta["batch_keys"]
+
+    def test_helpers_roundtrip_small_program(self, tmp_path):
+        """serialize → reload → identical outputs, on a program small
+        enough that every backend's executable AOT handles it."""
+        import jax.numpy as jnp
+
+        from multimodal_context_reasoning_tpu.serving.aot import (
+            _load_executable,
+            _save_executable,
+        )
+
+        f = jax.jit(lambda x: (x * 2 + 1).sum(axis=-1))
+        x = jnp.arange(12.0).reshape(3, 4)
+        path = str(tmp_path / "small.pjrt")
+        fp = _save_executable(path, f, (x,))
+        if fp is None:
+            pytest.skip("backend cannot serialize executables")
+        loaded = _load_executable(path, fp)
+        assert loaded is not None
+        np.testing.assert_allclose(np.asarray(loaded(x)), np.asarray(f(x)))
+
+    def test_helper_fingerprint_mismatch_returns_none(self, tmp_path):
+        import jax.numpy as jnp
+
+        from multimodal_context_reasoning_tpu.serving.aot import (
+            _load_executable,
+            _save_executable,
+        )
+
+        f = jax.jit(lambda x: x + 1)
+        x = jnp.ones((4,))
+        path = str(tmp_path / "small.pjrt")
+        fp = _save_executable(path, f, (x,))
+        if fp is None:
+            pytest.skip("backend cannot serialize executables")
+        wrong = dict(fp, device_kind="TPU v9 imaginary")
+        assert _load_executable(path, wrong) is None
+        assert _load_executable(path, None) is None  # no fingerprint
+
+    def test_helper_corrupt_file_returns_none(self, tmp_path):
+        from multimodal_context_reasoning_tpu.serving.aot import (
+            _device_fingerprint,
+            _load_executable,
+        )
+
+        path = str(tmp_path / "garbage.pjrt")
+        with open(path, "wb") as f:
+            f.write(b"not a pickle")
+        assert _load_executable(path, _device_fingerprint()) is None
+
+    def test_missing_exec_file_loads_stablehlo(self, setup, tmp_path):
+        """Artifacts without a (valid) executable load via StableHLO."""
+        import os
+        import shutil
+
+        scorer, _, art_dir, (bert, rob, feats) = setup
+        dst = str(tmp_path / "artifact_copy")
+        shutil.copytree(art_dir, dst)
+        if os.path.exists(f"{dst}/scorer_exec.pjrt"):
+            os.remove(f"{dst}/scorer_exec.pjrt")
+        with open(f"{dst}/artifact.json") as f:
+            meta = json.load(f)
+        meta["executable"] = None
+        with open(f"{dst}/artifact.json", "w") as f:
+            json.dump(meta, f)
+        aot = AOTScorer(dst, bert, rob, feats)
+        assert not aot.loaded_from_executable
+        live = scorer.score([_example(2)])
+        fb = aot.score([_example(2)])
+        np.testing.assert_array_equal(
+            np.asarray(live[0]["logits"], np.float32),
+            np.asarray(fb[0]["logits"], np.float32))
