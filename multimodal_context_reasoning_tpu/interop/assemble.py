@@ -428,6 +428,57 @@ def assemble_rationale_params(
     return report
 
 
+def assemble_chunkalign_cls_params(
+    params: Dict[str, Any],
+    enc_cfg,
+    cls_sd: StateDict,
+    *,
+    cls_layer_num: int = 3,
+    strict: bool = True,
+) -> AssembleReport:
+    """Graft a reference ``ChunkAlign_CLS_enc4_align`` checkpoint
+    (v10.py:1016-1165 — the stage-1 ChunkAlign-pretrain regime whose
+    ``seq_enc.`` keys the production trainer strips and loads,
+    run_PMR_ModCR.py:752-763) into a
+    :class:`~..models.chunkalign_cls.ChunkAlignClassifier` param tree, in
+    place.
+
+    Key space: ``global_enc.*`` / ``seq_enc.*`` (BertImgModel layouts,
+    edge_dense kept), ``cls_ensemble`` + ``classifier`` linears, and
+    ``cls_layer.N.*`` (ClsLayer2: cls_q_proj/align_k_proj/dense +
+    LayerNorm/FFN) — :func:`assemble_rationale_params` minus the GPT-2
+    decoder.  Round-trips with
+    :func:`~..interop.export.export_chunkalign_cls_state_dict`.
+    """
+    report = AssembleReport()
+    sd = _TrackedSD(cls_sd)
+    _graft_encoder(params, sd.sub("global_enc."), "global_enc", enc_cfg)
+    _graft_seq_encoder(params, sd.sub("seq_enc."), enc_cfg)
+    merge_into(params, _lin(sd, "cls_ensemble."), ("cls_ensemble",))
+    merge_into(params, _lin(sd, "classifier."), ("classifier",))
+    for i in range(cls_layer_num):
+        p = f"cls_layer.{i}."
+        layer = {
+            "cls_q_proj": _lin(sd, p + "cls_q_proj."),
+            "align_k_proj": _lin(sd, p + "align_k_proj."),
+            "dense": _lin(sd, p + "dense."),
+            "layer_norm": _ln(sd, p + "LayerNorm."),
+            "ffn": {
+                "intermediate": _lin(sd, p + "intermediate.dense."),
+                "output": _lin(sd, p + "output.dense."),
+                "output_layer_norm": _ln(sd, p + "output.LayerNorm."),
+            },
+        }
+        merge_into(params, layer, (f"cls_layer_{i}",))
+    _finish(report, sd, strict, extra=(
+        (r"^cls_layer\.\d+\.attention\.",
+         "dead BertSelfAttention inside ClsLayer2 — its forward reads "
+         "only cls_q_proj/align_k_proj/dense/LayerNorm/FFN "
+         "(v10.py:801-837)"),
+    ))
+    return report
+
+
 def assemble_from_files(
     params: Dict[str, Any],
     cfg: ModCRConfig,

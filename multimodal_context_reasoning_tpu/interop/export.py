@@ -153,6 +153,39 @@ def _conv1d(out: StateDict, prefix: str, node: Dict[str, Any]) -> None:
     out[prefix + "bias"] = _np(node["bias"])
 
 
+def export_chunkalign_cls_state_dict(
+    params: Dict[str, Any], enc_cfg, *, cls_layer_num: int = 3
+) -> StateDict:
+    """ChunkAlignClassifier params → the reference
+    ``ChunkAlign_CLS_enc4_align`` state-dict layout (v10.py:1016-1165) —
+    i.e. the ChunkAlign-pretrain checkpoint whose ``seq_enc.`` keys the
+    production trainer strips and loads (run_PMR_ModCR.py:752-763).
+    The stage-1→stage-2 handoff in scripts/train_two_stage.py round-trips
+    through this format so the surgery path is the reference's, not a
+    framework-internal shortcut."""
+    root = params["params"] if "params" in params else params
+    out: StateDict = {}
+    _export_encoder(out, "global_enc.", root["global_enc"],
+                    enc_cfg.num_hidden_layers)
+    _export_encoder(out, "seq_enc.", root["seq_enc"],
+                    enc_cfg.num_hidden_layers)
+    if "edge_dense" in root["seq_enc"]:
+        out["seq_enc.edge_dense.weight"] = _np(root["seq_enc"]["edge_dense"])
+    _lin(out, "cls_ensemble.", root["cls_ensemble"])
+    _lin(out, "classifier.", root["classifier"])
+    for i in range(cls_layer_num):
+        layer = root[f"cls_layer_{i}"]
+        p = f"cls_layer.{i}."
+        _lin(out, p + "cls_q_proj.", layer["cls_q_proj"])
+        _lin(out, p + "align_k_proj.", layer["align_k_proj"])
+        _lin(out, p + "dense.", layer["dense"])
+        _ln(out, p + "LayerNorm.", layer["layer_norm"])
+        _lin(out, p + "intermediate.dense.", layer["ffn"]["intermediate"])
+        _lin(out, p + "output.dense.", layer["ffn"]["output"])
+        _ln(out, p + "output.LayerNorm.", layer["ffn"]["output_layer_norm"])
+    return out
+
+
 def export_rationale_state_dict(
     params: Dict[str, Any], enc_cfg, gpt2_cfg, *, cls_layer_num: int = 3
 ) -> StateDict:

@@ -108,6 +108,39 @@ class ClsLayerLyx(nn.Module):
         return FeedForward(c, name="ffn")(h[:, None, :], deterministic=deterministic)[:, 0]
 
 
+def alignment_loss_from_probs(
+    seq_attn_probs: jnp.ndarray,            # [B, 3+, H, L, L] cross-modal maps
+    text_len: int,
+    align_pos: Optional[jnp.ndarray],       # [B, T] {0,1}
+    total_label: Optional[jnp.ndarray],     # [B, T] region indices
+):
+    """Attention-alignment CE (v10.py:981-987 / :1073-1078): sum the LAST
+    THREE cross-modal layers' attention maps over layers and heads, take
+    the text→image block, re-mask exact zeros (padded image columns
+    underflow to 0.0 in the fp32 softmax), softmax — then treat the
+    softmaxed map as *logits* for a second log-softmax inside the CE,
+    exactly as the reference's CrossEntropyLoss does — at the ``<|det#|>``
+    positions.  Shared by the production fusion (ChunkAlignFusion) and the
+    stage-1 pretrain classifier (models/chunkalign_cls.py).
+
+    Returns ``(align_loss scalar fp32, align_logits [B, T, I])``.
+    """
+    T = text_len
+    attn_sum = jnp.sum(seq_attn_probs[:, -3:], axis=(1, 2))      # [B, L, L]
+    attn_ti = attn_sum[:, :T, T:]                                 # [B, T, I]
+    attn_ti = jnp.where(attn_ti == 0.0, -1e5, attn_ti)
+    align_logits = jax.nn.softmax(attn_ti, axis=-1)
+
+    align_loss = jnp.asarray(0.0, dtype=jnp.float32)
+    if align_pos is not None and total_label is not None:
+        logp = jax.nn.log_softmax(align_logits, axis=-1)          # [B, T, I]
+        tgt = jnp.clip(total_label, 0, attn_ti.shape[-1] - 1)
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        w = align_pos.astype(jnp.float32)
+        align_loss = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return align_loss, align_logits
+
+
 class FusionOutput(NamedTuple):
     cls_ensem: jnp.ndarray                  # [B, D] fused multi-view CLS
     align_loss: jnp.ndarray                 # scalar
@@ -178,24 +211,8 @@ class ChunkAlignFusion(nn.Module):
                 jnp.zeros((B, T, I), jnp.float32),
             )
 
-        # Alignment loss (v10.py:981-987): sum the last three cross-modal
-        # layers' attention maps over layers and heads, take text→image block,
-        # re-mask exact zeros (padded image columns underflow to 0.0 in the
-        # fp32 softmax), softmax, and cross-entropy at <|det#|> positions.
-        attn_sum = jnp.sum(seq_attn_probs[:, -3:], axis=(1, 2))      # [B, L, L]
-        attn_ti = attn_sum[:, :T, T:]                                 # [B, T, I]
-        attn_ti = jnp.where(attn_ti == 0.0, -1e5, attn_ti)
-        align_logits = jax.nn.softmax(attn_ti, axis=-1)
-
-        align_loss = jnp.asarray(0.0, dtype=jnp.float32)
-        if align_pos is not None and total_label is not None:
-            # The softmaxed map is (faithfully) treated as *logits* for a
-            # second log-softmax inside the CE, exactly as the reference's
-            # CrossEntropyLoss does.
-            logp = jax.nn.log_softmax(align_logits, axis=-1)          # [B, T, I]
-            tgt = jnp.clip(total_label, 0, attn_ti.shape[-1] - 1)
-            nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-            w = align_pos.astype(jnp.float32)
-            align_loss = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
-
+        # Alignment loss (v10.py:981-987) — shared helper above.
+        align_loss, align_logits = alignment_loss_from_probs(
+            seq_attn_probs, T, align_pos, total_label
+        )
         return FusionOutput(cls_ensem, align_loss, align_logits)

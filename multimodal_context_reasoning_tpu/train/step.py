@@ -49,7 +49,7 @@ def _model_inputs(batch: Batch) -> Batch:
     return batch
 
 
-def _metrics(out, batch: Batch, num_labels: int) -> Dict[str, jnp.ndarray]:
+def _metrics(out, batch: Batch) -> Dict[str, jnp.ndarray]:
     logits = out.logits                              # [B, K]
     labels = batch["label"].reshape(logits.shape)    # [B, K] multi-hot
     pred = jnp.argmax(logits, axis=-1)
@@ -77,8 +77,6 @@ def make_train_step(
     """Build the jitted train step; with a mesh, in/out shardings pin the
     batch to ``data`` and params to the TP rules so XLA compiles the psum."""
 
-    num_labels = model.config.num_labels
-
     def step(state: TrainState, batch: Batch, rng: jax.Array):
         inputs = _model_inputs(batch)
 
@@ -90,7 +88,7 @@ def make_train_step(
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
-        metrics = _metrics(out, batch, num_labels)
+        metrics = _metrics(out, batch)
         metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
 
@@ -116,11 +114,9 @@ def optax_global_norm(tree) -> jnp.ndarray:
 def make_eval_step(model, *, mesh: Optional[Mesh] = None):
     """Jitted eval step → per-batch (logits, correct, count)."""
 
-    num_labels = model.config.num_labels
-
     def step(params, batch: Batch):
         out = model.apply(params, _model_inputs(batch), deterministic=True)
-        m = _metrics(out, batch, num_labels)
+        m = _metrics(out, batch)
         return {"logits": out.logits, "correct": m["correct"], "count": m["count"],
                 "loss": m["loss"]}
 

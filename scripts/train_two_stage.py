@@ -1,0 +1,311 @@
+"""Two-stage recipe on REAL data — the reference's own training shape.
+
+The reference never trains ModCR in one stage: its composite loads a
+ChunkAlign-pretrain checkpoint (``checkpoint-6-2625-acc-0.8164``,
+run_PMR_ModCR.py:555) whose towers were trained FIRST under the
+``ChunkAlign_CLS_enc4_align`` regime (modeling_vcr_chunkalign_v10.py:
+1016-1165), then prefix-tunes with both towers frozen.  This driver runs
+that two-stage shape end-to-end on the data that ships with the reference:
+
+Stage 1 — ChunkAlign pretrain: :class:`ChunkAlignClassifier` (BOTH towers
+trainable, binary CE + attention-alignment CE) on the real PMR/VCR train
+split; held-out accuracy is validated on the same schedule as the
+production trainer.  The trained params export to the reference's
+checkpoint layout (interop/export.py::export_chunkalign_cls_state_dict).
+
+Stage 2 — cold-start surgery + prefix-tune: a fresh composite grafts
+``seq_enc`` through the reference's literal ``seq_enc.``-strip path
+(assemble_modcr_params(chunkalign_sd=...), run_PMR_ModCR.py:752-763) and
+the global tower through the ``oscar_sd`` path (:819-832 loads Oscar
+there; stage 1 trained ours), then trains the production recipe — frozen
+towers, mapping networks + prefix-RoBERTa live.
+
+Both stages share the featurized datasets, so the towers see the same
+input distribution they will serve in the composite.  Image features are
+synthesized per img_id (no region pickles in-repo; see train_real_pmr.py).
+
+Run (TPU, ~35 min at defaults):
+
+    python scripts/train_two_stage.py --stage1_steps 400 --stage2_steps 600
+
+CPU smoke (tiny model):
+
+    python scripts/train_two_stage.py --tiny --stage1_steps 20 \
+        --stage2_steps 20 --batch 4 --stage1_batch 4 --limit 80
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from train_real_pmr import synthetic_features  # noqa: E402
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="pmr", choices=["pmr", "vcr"])
+    p.add_argument("--jsonl", default="/root/reference/pmr_data/val-ori.jsonl")
+    p.add_argument("--train_frac", type=float, default=0.8)
+    p.add_argument("--stage1_steps", type=int, default=400)
+    p.add_argument("--stage2_steps", type=int, default=600)
+    p.add_argument("--batch", type=int, default=32,
+                   help="stage-2 batch (questions; x4 candidate rows)")
+    p.add_argument("--stage1_batch", type=int, default=16,
+                   help="stage-1 batch — towers carry gradients, so the "
+                        "activation footprint is ~4x the frozen-tower "
+                        "composite's at equal batch")
+    p.add_argument("--eval_batch", type=int, default=32)
+    p.add_argument("--lr1", type=float, default=3e-5)
+    p.add_argument("--lr2", type=float, default=3e-5)
+    p.add_argument("--align_weight", type=float, default=1.0,
+                   help="stage-1 align-CE weight (the reference returns the "
+                        "two losses separately, v10.py:1084; its absent "
+                        "stage-1 trainer summed them)")
+    p.add_argument("--warmup", type=int, default=50)
+    p.add_argument("--valid_steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--dropout", type=float, default=0.1,
+                   help="uniform dropout (see train_real_pmr.py for the "
+                        "measured from-scratch rationale)")
+    p.add_argument("--roberta_dropout", type=float, default=None)
+    p.add_argument("--out", default="/tmp/two_stage")
+    p.add_argument("--no_device_features", dest="device_features",
+                   action="store_false", default=True)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_context_reasoning_tpu.core.config import (
+        ModCRConfig,
+        TrainConfig,
+    )
+    from multimodal_context_reasoning_tpu.data.collate import BatchSpec
+    from multimodal_context_reasoning_tpu.data.loader import DataLoader
+    from multimodal_context_reasoning_tpu.data.pmr import (
+        PMRDataset,
+        load_pmr_jsonl,
+    )
+    from multimodal_context_reasoning_tpu.data.tokenization import (
+        HashTokenizer,
+        RobertaHashTokenizer,
+    )
+    from multimodal_context_reasoning_tpu.data.vcr import (
+        VCRDataset,
+        load_vcr_json,
+    )
+    from multimodal_context_reasoning_tpu.interop.assemble import (
+        assemble_modcr_params,
+    )
+    from multimodal_context_reasoning_tpu.interop.export import (
+        export_chunkalign_cls_state_dict,
+    )
+    from multimodal_context_reasoning_tpu.models.chunkalign_cls import (
+        ChunkAlignClassifier,
+    )
+    from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+    from multimodal_context_reasoning_tpu.train.optim import make_optimizer
+    from multimodal_context_reasoning_tpu.train.state import TrainState
+    from multimodal_context_reasoning_tpu.train.step import _model_inputs
+    from multimodal_context_reasoning_tpu.train.trainer import Trainer
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
+                        stream=sys.stderr, force=True)
+    logger = logging.getLogger("two-stage")
+
+    # ---- composite config first; stage 1 reuses its encoder geometry so the
+    # graft lands key-for-key
+    if args.tiny:
+        cfg2 = dataclasses.replace(ModCRConfig.tiny(),
+                                   compute_alignment=False)
+    else:
+        cfg2 = ModCRConfig(compute_alignment=False).with_dtype("bfloat16")
+        d = args.dropout
+        enc = dataclasses.replace(
+            cfg2.global_encoder,
+            hidden_dropout_prob=d, attention_probs_dropout_prob=d,
+        )
+        rd = d if args.roberta_dropout is None else args.roberta_dropout
+        rob = dataclasses.replace(
+            cfg2.roberta, remat=True,
+            hidden_dropout_prob=rd, attention_probs_dropout_prob=rd,
+        )
+        cfg2 = dataclasses.replace(
+            cfg2, global_encoder=enc, seq_encoder=enc, roberta=rob,
+            mapping_dropout=d,
+        )
+    enc_cfg = cfg2.seq_encoder
+
+    # ---- shared data (both stages featurize identically)
+    load_fn = load_vcr_json if args.task == "vcr" else load_pmr_jsonl
+    dataset_cls = VCRDataset if args.task == "vcr" else PMRDataset
+    examples = []
+    for path in args.jsonl.split(","):
+        examples.extend(load_fn(path, limit=args.limit or None))
+    rng_np = np.random.default_rng(args.seed)
+    order = rng_np.permutation(len(examples))
+    n_train = int(len(examples) * args.train_frac)
+    train_ex = [examples[i] for i in order[:n_train]]
+    val_ex = [examples[i] for i in order[n_train:]]
+    logger.info("examples: %d train / %d held-out", len(train_ex), len(val_ex))
+
+    feats = synthetic_features(
+        {ex.img_id for ex in examples}, enc_cfg.img_feature_dim,
+        max_regions=min(cfg2.img_len, 20),
+    )
+    bert = HashTokenizer(vocab_size=enc_cfg.vocab_size)
+    rob_tok = RobertaHashTokenizer(vocab_size=cfg2.roberta.vocab_size)
+    spec = BatchSpec(
+        text_len=cfg2.text_len, img_len=cfg2.img_len,
+        roberta_len=cfg2.roberta_len, num_labels=cfg2.num_labels,
+        img_feature_dim=enc_cfg.img_feature_dim,
+    )
+    table = None
+    if args.device_features:
+        from multimodal_context_reasoning_tpu.data.device_table import (
+            DeviceFeatureTable,
+        )
+
+        table = DeviceFeatureTable.for_config(feats, cfg2)
+        logger.info("device feature table resident: %d images, %.1f MB",
+                    len(table.row), table.nbytes / 1e6)
+
+    def mk(exs):
+        ds = dataset_cls(exs, feats, bert, rob_tok, spec=spec,
+                         max_chunks=cfg2.max_chunks)
+        if table is not None:
+            ds.use_device_table(table)
+        return ds
+
+    train_ds, val_ds = mk(train_ex), mk(val_ex)
+    val_dl = DataLoader(val_ds, args.eval_batch)
+    os.makedirs(args.out, exist_ok=True)
+
+    # ================= stage 1: ChunkAlign pretrain =================
+    model1 = ChunkAlignClassifier(
+        enc_cfg, cfg2.chunkalign, num_labels=cfg2.num_labels,
+        max_chunks=cfg2.max_chunks, align_weight=args.align_weight,
+    )
+    tcfg1 = TrainConfig(
+        learning_rate=args.lr1, warmup_steps=args.warmup,
+        max_steps=args.stage1_steps, num_train_epochs=10_000,
+        per_device_batch_size=args.stage1_batch,
+        valid_steps=args.valid_steps, epoch_begin=1, seed=args.seed,
+        freeze_encoders=False,      # the point of stage 1 (v10.py: no no_grad)
+        compute_dtype="float32" if args.tiny else "bfloat16",
+    )
+    train_dl1 = DataLoader(train_ds, args.stage1_batch, shuffle=True,
+                           seed=args.seed, drop_last=True)
+    trainer1 = Trainer(model1, tcfg1, train_dl1, val_dl, logger=logger)
+
+    t0 = time.time()
+    state1 = trainer1.init_state()
+    logger.info("stage-1 init done in %.1fs on %s", time.time() - t0,
+                jax.devices()[0].platform)
+    s1_base = trainer1.evaluate(state1.params)
+    logger.info("stage-1 held-out accuracy at random init: %.4f", s1_base)
+    t0 = time.time()
+    state1 = trainer1.fit(state1)
+    s1_wall = time.time() - t0
+    s1_final = trainer1.evaluate(state1.params)
+    logger.info("stage-1 done: best %.4f final %.4f (%.0fs)",
+                trainer1.best_acc, s1_final, s1_wall)
+
+    # ---- export through the reference's checkpoint layout
+    params1 = jax.tree.map(np.asarray, state1.params)
+    sd = export_chunkalign_cls_state_dict(params1, enc_cfg)
+    np.savez(os.path.join(args.out, "chunkalign_cls_state_dict.npz"), **sd)
+    logger.info("stage-1 export: %d keys -> %s", len(sd),
+                os.path.join(args.out, "chunkalign_cls_state_dict.npz"))
+
+    # ================= stage 2: surgery + prefix-tune =================
+    model2 = ModCRModel(cfg2)
+    train_dl2 = DataLoader(train_ds, args.batch, shuffle=True,
+                           seed=args.seed + 1, drop_last=True)
+    tcfg2 = TrainConfig(
+        learning_rate=args.lr2, warmup_steps=args.warmup,
+        max_steps=args.stage2_steps, num_train_epochs=10_000,
+        per_device_batch_size=args.batch,
+        valid_steps=args.valid_steps, epoch_begin=1, seed=args.seed,
+        compute_dtype="float32" if args.tiny else "bfloat16",
+    )
+    trainer2 = Trainer(model2, tcfg2, train_dl2, val_dl, logger=logger)
+
+    sample = next(iter(train_dl2))
+    inputs = _model_inputs({k: jnp.asarray(v) for k, v in sample.items()})
+    params2 = jax.tree.map(
+        np.asarray,
+        jax.jit(model2.init)(jax.random.PRNGKey(args.seed), inputs),
+    )
+    # the reference's surgery: seq_enc via the chunkalign strip
+    # (run_PMR_ModCR.py:752-763), global tower via the oscar slot (:819-832)
+    global_sd = {k[len("global_enc."):]: v for k, v in sd.items()
+                 if k.startswith("global_enc.")}
+    report = assemble_modcr_params(
+        params2, cfg2, oscar_sd=global_sd, chunkalign_sd=sd,
+    )
+    logger.info("surgery: %d keys grafted, %d skipped-dead",
+                len(report.consumed), len(report.skipped))
+    tx = make_optimizer(tcfg2, trainer2.t_total, params2)
+    state2 = TrainState.create(params2, tx)
+
+    s2_base = trainer2.evaluate(state2.params)
+    logger.info("stage-2 held-out accuracy after surgery, before tuning: "
+                "%.4f", s2_base)
+    trainer2.history.append({"epoch": 0, "step": 0, "val_acc": s2_base,
+                             "train_loss": None, "train_acc": None})
+    t0 = time.time()
+    state2 = trainer2.fit(state2)
+    s2_wall = time.time() - t0
+    s2_final = trainer2.evaluate(state2.params)
+
+    curve = {
+        "task": args.task,
+        "data": ",".join(os.path.basename(x) for x in args.jsonl.split(",")),
+        "n_train": len(train_ex), "n_val": len(val_ex),
+        "batch": args.batch, "stage1_batch": args.stage1_batch,
+        "lr1": args.lr1, "lr2": args.lr2,
+        "align_weight": args.align_weight, "seed": args.seed,
+        "tiny": args.tiny,
+        "stage1": {
+            "steps": args.stage1_steps, "baseline_acc": s1_base,
+            "best_acc": trainer1.best_acc, "final_acc": s1_final,
+            "wall_seconds": round(s1_wall, 1),
+            "history": trainer1.history,
+        },
+        "stage2": {
+            "steps": args.stage2_steps, "post_surgery_acc": s2_base,
+            "best_acc": trainer2.best_acc, "final_acc": s2_final,
+            "wall_seconds": round(s2_wall, 1),
+            "history": trainer2.history,
+        },
+    }
+    path = os.path.join(args.out, "curve.json")
+    with open(path, "w") as f:
+        json.dump(curve, f, indent=1)
+    logger.info("wrote %s", path)
+    print(json.dumps({
+        "stage1_best_acc": round(trainer1.best_acc, 4),
+        "post_surgery_acc": round(s2_base, 4),
+        "stage2_best_acc": round(trainer2.best_acc, 4),
+        "stage2_final_acc": round(s2_final, 4),
+        "wall_seconds": round(s1_wall + s2_wall, 1),
+    }))
+    return curve
+
+
+if __name__ == "__main__":
+    main()

@@ -388,3 +388,120 @@ class TestRationaleExportRoundTrip:
             assert np.array_equal(np.asarray(va), np.asarray(vb)), (
                 jax.tree_util.keystr(ka)
             )
+
+
+class TestChunkAlignClsExportRoundTrip:
+    def _setup(self):
+        from multimodal_context_reasoning_tpu.core.config import (
+            ChunkAlignConfig, EncoderConfig,
+        )
+        from multimodal_context_reasoning_tpu.models.chunkalign_cls import (
+            ChunkAlignClassifier,
+        )
+
+        rng = np.random.default_rng(3)
+        enc = EncoderConfig(
+            vocab_size=64, hidden_size=16, num_hidden_layers=4,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=64, img_feature_dim=8,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        model = ChunkAlignClassifier(
+            enc, ChunkAlignConfig(chunk_layers_end=1, full_layers_end=2),
+            num_labels=4, max_chunks=4,
+        )
+        B, T, I = 4, 10, 4
+        batch = {
+            "input_ids": jnp.asarray(rng.integers(2, 64, (B, T)), jnp.int32),
+            "text_mask": jnp.ones((B, T)),
+            "img_feat": jnp.asarray(rng.normal(size=(B, I, 8)), jnp.float32),
+            "img_mask": jnp.ones((B, I)),
+            "chunk_mask": jnp.ones((B, T, T)),
+            "gather_index": jnp.full((B, T), -1, jnp.int32),
+            "label": jnp.asarray([0.0, 0.0, 1.0, 0.0]),
+        }
+        return model, enc, batch
+
+    def test_stage1_export_then_assemble(self):
+        """export_chunkalign_cls_state_dict inverts
+        assemble_chunkalign_cls_params: a fresh tree grafted from the
+        export reproduces the source exactly."""
+        from multimodal_context_reasoning_tpu.interop.assemble import (
+            assemble_chunkalign_cls_params,
+        )
+        from multimodal_context_reasoning_tpu.interop.export import (
+            export_chunkalign_cls_state_dict,
+        )
+
+        model, enc, batch = self._setup()
+        params = jax.tree.map(
+            np.asarray, jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+        )
+        sd = export_chunkalign_cls_state_dict(params, enc)
+        fresh = jax.tree.map(
+            np.asarray, jax.jit(model.init)(jax.random.PRNGKey(9), batch)
+        )
+        report = assemble_chunkalign_cls_params(fresh, enc, sd, strict=True)
+        assert not report.unconsumed and not report.skipped
+        flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+        flat_b = jax.tree_util.tree_flatten_with_path(fresh)[0]
+        assert len(flat_a) == len(flat_b)
+        for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+            assert ka == kb
+            assert np.array_equal(np.asarray(va), np.asarray(vb)), (
+                jax.tree_util.keystr(ka)
+            )
+
+    def test_stage1_export_feeds_stage2_surgery(self):
+        """The stage-1→stage-2 handoff: an exported ChunkAlign checkpoint
+        drives assemble_modcr_params(chunkalign_sd=...) — the reference's
+        seq_enc.-strip surgery (run_PMR_ModCR.py:752-763) — and the
+        composite's seq encoder picks up the stage-1 weights bit-exactly."""
+        from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+        from multimodal_context_reasoning_tpu.interop.assemble import (
+            assemble_modcr_params,
+        )
+        from multimodal_context_reasoning_tpu.interop.export import (
+            export_chunkalign_cls_state_dict,
+        )
+        from multimodal_context_reasoning_tpu.models.modcr import ModCRModel
+
+        model, enc, batch = self._setup()
+        params = jax.tree.map(
+            np.asarray, jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+        )
+        sd = export_chunkalign_cls_state_dict(params, enc)
+
+        import dataclasses
+
+        # geometry must match the stage-1 towers for the graft to land
+        cfg = dataclasses.replace(
+            ModCRConfig.tiny(), seq_encoder=enc, global_encoder=enc
+        )
+        modcr = ModCRModel(cfg)
+        mb = {
+            "input_ids": batch["input_ids"],
+            "text_mask": batch["text_mask"],
+            "img_feat": batch["img_feat"],
+            "img_mask": batch["img_mask"],
+            "chunk_mask": batch["chunk_mask"],
+            "gather_index": batch["gather_index"],
+            "r_input_ids": jnp.ones((4, 8), jnp.int32),
+            "r_attention_mask": jnp.ones((4, 8)),
+            "r_token_type_ids": jnp.zeros((4, 8), jnp.int32),
+        }
+        mp = jax.tree.map(
+            np.asarray, jax.jit(modcr.init)(jax.random.PRNGKey(1), mb)
+        )
+        report = assemble_modcr_params(mp, cfg, chunkalign_sd=sd)
+        assert not report.unconsumed
+        src = params["params"]["seq_enc"]
+        dst = mp["params"]["seq_enc"]
+        fa = jax.tree_util.tree_flatten_with_path(src)[0]
+        fb = jax.tree_util.tree_flatten_with_path(dst)[0]
+        assert len(fa) == len(fb)
+        for (ka, va), (kb, vb) in zip(fa, fb):
+            assert ka == kb
+            assert np.array_equal(np.asarray(va), np.asarray(vb)), (
+                jax.tree_util.keystr(ka)
+            )

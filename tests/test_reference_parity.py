@@ -935,3 +935,111 @@ class TestCompositeParity:
             np.asarray(s["export_out"].logits), s["export_ref_logits"],
             rtol=2e-3, atol=1e-3,
         )
+
+
+class TestStage1ChunkAlignParity:
+    def test_enc4_align_losses_and_decisions_match(self, ref_modules):
+        """Full ChunkAlign_CLS_enc4_align forward (v10.py:1016-1081) vs
+        ChunkAlignClassifier with grafted weights: the binary cls CE, the
+        attention-alignment CE, and the 4-way decisions — the stage-1
+        pretrain regime whose checkpoint seeds the production composite
+        (run_PMR_ModCR.py:752-763)."""
+        import bench
+
+        tra, v10, _ = bench._import_reference_modeling()
+        from a_transformers.configuration_bert import BertConfig
+
+        from multimodal_context_reasoning_tpu.core.config import (
+            ChunkAlignConfig,
+            EncoderConfig,
+        )
+        from multimodal_context_reasoning_tpu.interop.assemble import (
+            assemble_chunkalign_cls_params,
+        )
+        from multimodal_context_reasoning_tpu.models.chunkalign_cls import (
+            ChunkAlignClassifier,
+        )
+
+        bcfg = BertConfig(
+            vocab_size=VOCAB, hidden_size=D, num_hidden_layers=LAYERS,
+            num_attention_heads=HEADS, intermediate_size=2 * D,
+            max_position_embeddings=64, type_vocab_size=2,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        bcfg.img_feature_dim = FDIM
+        bcfg.img_feature_type = "faster_r-cnn"
+        bcfg.output_attentions = True
+        bcfg.output_hidden_states = False
+        bcfg.use_img_layernorm = None
+        bcfg.add_residual = False
+        bcfg.add_local_residual = False
+        bcfg.max_hypo = T
+
+        torch.manual_seed(47)
+        with torch.no_grad():
+            oscar = tra.BertImgModel(bcfg)
+            seq = v10.SeqBertImgModel(bcfg)
+            ref = v10.ChunkAlign_CLS_enc4_align(oscar, seq, 4)
+            ref.eval()
+
+        x = _inputs()
+        label_flat = np.zeros((N,), np.int64)
+        label_flat[2] = 1                     # gold candidate = 2
+
+        t = torch.tensor
+        input_mask = t(np.concatenate([x["text_mask"], x["img_mask"]], -1))
+        with torch.no_grad():
+            ref_cls_loss, ref_matched, ref_align_loss, ref_corr, ref_tot = ref(
+                input_ids=t(x["input_ids"]), img_feat=t(x["img_feat"]),
+                input_mask=input_mask, label=t(label_flat),
+                token_type_ids=t(x["token_type_ids"]),
+                offsets=[x["chunk_lists"]] * N,
+                chunk_attention_mask=t(x["dense"]).expand(N, T, T),
+                gather_index=[t(x["gi_interior"])] * N,
+                align_pos=t(x["align_pos"]), total_label=t(x["total_label"]),
+            )
+
+        ecfg = EncoderConfig(
+            vocab_size=VOCAB, hidden_size=D, num_hidden_layers=LAYERS,
+            num_attention_heads=HEADS, intermediate_size=2 * D,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            max_position_embeddings=64, img_feature_dim=FDIM,
+        )
+        model = ChunkAlignClassifier(
+            ecfg, ChunkAlignConfig(), num_labels=4, max_chunks=N_CHUNKS,
+        )
+        batch = {
+            "input_ids": jnp.asarray(x["input_ids"], jnp.int32),
+            "token_type_ids": jnp.asarray(x["token_type_ids"], jnp.int32),
+            "text_mask": jnp.asarray(x["text_mask"]),
+            "img_feat": jnp.asarray(x["img_feat"]),
+            "img_mask": jnp.asarray(x["img_mask"]),
+            "chunk_mask": jnp.broadcast_to(
+                jnp.asarray(x["dense"])[None], (N, T, T)
+            ),
+            "gather_index": jnp.asarray(
+                np.concatenate(
+                    [np.full((N, 1), -1), np.tile(x["gi_interior"], (N, 1)),
+                     np.full((N, 1), -1)], axis=1,
+                ), jnp.int32,
+            ),
+            "label": jnp.asarray(label_flat.astype(np.float32)),
+            "align_pos": jnp.asarray(x["align_pos"], jnp.int32),
+            "total_label": jnp.asarray(x["total_label"], jnp.int32),
+        }
+        params = jax.tree_util.tree_map(
+            np.asarray, jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+        )
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        report = assemble_chunkalign_cls_params(params, ecfg, sd)
+        assert not report.unconsumed
+        out = model.apply(params, batch, deterministic=True)
+
+        assert abs(float(out.cls_loss) - float(ref_cls_loss)) < 1e-3
+        assert abs(float(out.align_loss) - float(ref_align_loss)) < 1e-3
+        assert float(out.loss) == pytest.approx(
+            float(out.cls_loss) + float(out.align_loss)
+        )
+        ours_pre = np.argmax(np.asarray(out.logits), -1)
+        gold = np.argmax(label_flat.reshape(-1, 4), -1)
+        np.testing.assert_array_equal(ours_pre == gold, ref_matched.numpy())
