@@ -169,6 +169,9 @@ class Trainer:
             meter.update(
                 loss=fetched["loss"] / since_fetch,
                 acc=fetched["correct"] / max(fetched["count"], 1.0),
+                # loss composition: visible when a recipe weights several
+                # terms (e.g. stage-1 ChunkAlign pretrain's cls + align CE)
+                align=fetched["align_loss"] / since_fetch,
             )
             sums = None
             since_fetch = 0

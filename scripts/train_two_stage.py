@@ -218,7 +218,8 @@ def main(argv=None):
     s1_base = trainer1.evaluate(state1.params)
     logger.info("stage-1 held-out accuracy at random init: %.4f", s1_base)
     t0 = time.time()
-    state1 = trainer1.fit(state1)
+    if args.stage1_steps > 0:
+        state1 = trainer1.fit(state1)
     s1_wall = time.time() - t0
     s1_final = trainer1.evaluate(state1.params)
     logger.info("stage-1 done: best %.4f final %.4f (%.0fs)",
@@ -268,7 +269,8 @@ def main(argv=None):
     trainer2.history.append({"epoch": 0, "step": 0, "val_acc": s2_base,
                              "train_loss": None, "train_acc": None})
     t0 = time.time()
-    state2 = trainer2.fit(state2)
+    if args.stage2_steps > 0:
+        state2 = trainer2.fit(state2)
     s2_wall = time.time() - t0
     s2_final = trainer2.evaluate(state2.params)
 
