@@ -72,6 +72,11 @@ def main(argv=None):
                    help="stage-1 align-CE weight (the reference returns the "
                         "two losses separately, v10.py:1084; its absent "
                         "stage-1 trainer summed them)")
+    p.add_argument("--seq_lr_scale", type=float, default=1.0,
+                   help="stage-1 lr scale for the seq_enc group. The "
+                        "reference's x0.1 (run_PMR_ModCR.py:127-135) "
+                        "protects a PRETRAINED seq tower; from scratch "
+                        "both towers need the full lr")
     p.add_argument("--warmup", type=int, default=50)
     p.add_argument("--valid_steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
@@ -81,6 +86,9 @@ def main(argv=None):
                    help="uniform dropout (see train_real_pmr.py for the "
                         "measured from-scratch rationale)")
     p.add_argument("--roberta_dropout", type=float, default=None)
+    p.add_argument("--stage1_dropout", type=float, default=None,
+                   help="override encoder dropout for stage 1 only "
+                        "(dropout is not geometry; the graft still lands)")
     p.add_argument("--out", default="/tmp/two_stage")
     p.add_argument("--no_device_features", dest="device_features",
                    action="store_false", default=True)
@@ -195,8 +203,14 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     # ================= stage 1: ChunkAlign pretrain =================
+    enc1_cfg = enc_cfg
+    if args.stage1_dropout is not None:
+        enc1_cfg = dataclasses.replace(
+            enc_cfg, hidden_dropout_prob=args.stage1_dropout,
+            attention_probs_dropout_prob=args.stage1_dropout,
+        )
     model1 = ChunkAlignClassifier(
-        enc_cfg, cfg2.chunkalign, num_labels=cfg2.num_labels,
+        enc1_cfg, cfg2.chunkalign, num_labels=cfg2.num_labels,
         max_chunks=cfg2.max_chunks, align_weight=args.align_weight,
     )
     tcfg1 = TrainConfig(
@@ -205,6 +219,7 @@ def main(argv=None):
         per_device_batch_size=args.stage1_batch,
         valid_steps=args.valid_steps, epoch_begin=1, seed=args.seed,
         freeze_encoders=False,      # the point of stage 1 (v10.py: no no_grad)
+        seq_enc_lr_scale=args.seq_lr_scale,
         compute_dtype="float32" if args.tiny else "bfloat16",
     )
     train_dl1 = DataLoader(train_ds, args.stage1_batch, shuffle=True,
@@ -231,6 +246,15 @@ def main(argv=None):
     np.savez(os.path.join(args.out, "chunkalign_cls_state_dict.npz"), **sd)
     logger.info("stage-1 export: %d keys -> %s", len(sd),
                 os.path.join(args.out, "chunkalign_cls_state_dict.npz"))
+
+    # free stage-1 HBM before stage 2: params + AdamW state are ~2.6 GB on a
+    # 16 GB v5e, and the composite's batch-32 step needs that headroom
+    # (measured: keeping them resident OOMs stage-2 fit)
+    import gc
+
+    state1 = None
+    del params1
+    gc.collect()
 
     # ================= stage 2: surgery + prefix-tune =================
     model2 = ModCRModel(cfg2)
@@ -260,6 +284,9 @@ def main(argv=None):
     )
     logger.info("surgery: %d keys grafted, %d skipped-dead",
                 len(report.consumed), len(report.skipped))
+    # one bulk host->device transfer: numpy params as jit args would be
+    # re-shipped on EVERY eval/train call (~2.6 GB each through the tunnel)
+    params2 = jax.device_put(params2)
     tx = make_optimizer(tcfg2, trainer2.t_total, params2)
     state2 = TrainState.create(params2, tx)
 
