@@ -3,12 +3,21 @@
 Measures, at FULL size on the real chip, the wall time from process-start
 state to "first request served" for (a) the live path — ModCRModel
 construction, jitted init, scorer warmup — and (b) the AOT artifact path —
-load program + weights, compile, warmup — plus a score-equality check.
-The artifact path skips python model construction, param init, and Flax
-tracing; XLA compile is shared via the persistent cache, so the delta
-isolates what the artifact actually removes from a serving restart.
+load weights, deserialize the compiled executable (fingerprint-matching
+box: NO XLA compile) or the StableHLO program (portable fallback: one
+compile), warmup — plus a score-equality check.
 
-    python scripts/bench_aot.py --micro_batch 8
+Honest-comparison modes (round 4): a serving restart happens in a FRESH
+process, and a new box has a cold persistent compile cache.  Use
+``--export_only`` then ``--reload_only`` in separate processes with
+``--cold_cache`` to measure exactly that:
+
+    python scripts/bench_aot.py --export_only --keep_dir /tmp/aot --cold_cache
+    python scripts/bench_aot.py --reload_only --keep_dir /tmp/aot --cold_cache
+
+``--device_features`` exercises the HBM-resident-table scorer (the table
+buffers travel as program inputs; the reload rebuilds them from the
+serving box's feature source).
 """
 
 from __future__ import annotations
@@ -36,13 +45,30 @@ def main():
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--keep_dir", default="",
-                   help="write the artifact here instead of a tempdir")
+                   help="write/read the artifact here instead of a tempdir")
+    p.add_argument("--device_features", action="store_true",
+                   help="HBM-resident feature table mode (table buffers are "
+                        "program inputs; reload rebuilds from the feature "
+                        "source)")
+    p.add_argument("--export_only", action="store_true",
+                   help="live standup + export, then exit (pair with "
+                        "--reload_only in a FRESH process)")
+    p.add_argument("--reload_only", action="store_true",
+                   help="artifact standup only, from --keep_dir (fresh-"
+                        "process serving-restart measurement)")
+    p.add_argument("--cold_cache", action="store_true",
+                   help="point the persistent compile cache at a fresh "
+                        "tempdir — simulates a never-seen serving box")
     args = p.parse_args()
+    if args.reload_only and not args.keep_dir:
+        raise SystemExit("--reload_only needs --keep_dir")
 
     import jax
 
+    cache_dir = ("/tmp/modcr_jax_cache" if not args.cold_cache
+                 else tempfile.mkdtemp(prefix="modcr_cold_cache_"))
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/modcr_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -85,62 +111,80 @@ def main():
     rob = RobertaHashTokenizer(vocab_size=cfg.roberta.vocab_size)
     ex = RawExample("e0", "img-0", "they are friends .",
                     ["hug .", "fight .", "leave .", "sing ."], None)
+    out = {"micro_batch": args.micro_batch,
+           "device_features": args.device_features,
+           "cold_cache": args.cold_cache}
 
-    # ---- live path: model construction + jitted init + warmup
-    log("live path: construct + init + warm...")
-    t0 = time.perf_counter()
-    spec = BatchSpec(
-        text_len=cfg.text_len, img_len=cfg.img_len,
-        roberta_len=cfg.roberta_len,
-        img_feature_dim=cfg.global_encoder.img_feature_dim,
-    )
-    ds = PMRDataset([], feats, bert, rob, spec=spec, max_chunks=cfg.max_chunks)
-    warm_ex = RawExample("w", "img-0", "warm .", ["a ."] * 4, 0)
-    batch = collate_candidates(
-        [ds.featurize(warm_ex)] * args.micro_batch,
-        [ds.get_image(warm_ex)] * args.micro_batch, spec)
-    model = ModCRModel(cfg)
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in batch.items()})
-    scorer = ModCRScorer(cfg, params, bert, rob, feats,
-                         micro_batch=args.micro_batch, warm=True)
-    live_s = time.perf_counter() - t0
-    log(f"live standup: {live_s:.1f}s")
-    live_scores = scorer.score([ex])
-
-    # ---- export (one-time cost, reported separately)
     art_dir = args.keep_dir or tempfile.mkdtemp(prefix="modcr_aot_")
-    t0 = time.perf_counter()
-    save_scorer_artifact(art_dir, scorer)
-    export_s = time.perf_counter() - t0
-    size_mb = sum(
-        os.path.getsize(os.path.join(art_dir, f))
-        for f in os.listdir(art_dir)
-    ) / 1e6
-    log(f"export: {export_s:.1f}s, artifact {size_mb:.0f} MB")
 
-    # ---- artifact path: load + compile + warmup
-    log("artifact path: load + warm...")
-    t0 = time.perf_counter()
-    aot = AOTScorer(art_dir, bert, rob, feats, warm=True)
-    aot_s = time.perf_counter() - t0
-    log(f"artifact standup: {aot_s:.1f}s")
+    if not args.reload_only:
+        # ---- live path: model construction + jitted init + warmup
+        log("live path: construct + init + warm...")
+        t0 = time.perf_counter()
+        spec = BatchSpec(
+            text_len=cfg.text_len, img_len=cfg.img_len,
+            roberta_len=cfg.roberta_len,
+            img_feature_dim=cfg.global_encoder.img_feature_dim,
+        )
+        ds = PMRDataset([], feats, bert, rob, spec=spec,
+                        max_chunks=cfg.max_chunks)
+        warm_ex = RawExample("w", "img-0", "warm .", ["a ."] * 4, 0)
+        batch = collate_candidates(
+            [ds.featurize(warm_ex)] * args.micro_batch,
+            [ds.get_image(warm_ex)] * args.micro_batch, spec)
+        model = ModCRModel(cfg)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in batch.items()})
+        scorer = ModCRScorer(cfg, params, bert, rob, feats,
+                             micro_batch=args.micro_batch, warm=True,
+                             use_device_table=args.device_features)
+        live_s = time.perf_counter() - t0
+        log(f"live standup: {live_s:.1f}s")
+        live_scores = scorer.score([ex])
+        out["live_standup_s"] = round(live_s, 1)
+        out["live_logits"] = [round(float(x), 6)
+                              for x in live_scores[0]["logits"]]
 
-    aot_scores = aot.score([ex])
-    match = bool(np.allclose(
-        live_scores[0]["logits"], aot_scores[0]["logits"], atol=0, rtol=0))
+        # ---- export (one-time cost, reported separately)
+        t0 = time.perf_counter()
+        save_scorer_artifact(art_dir, scorer)
+        export_s = time.perf_counter() - t0
+        size_mb = sum(
+            os.path.getsize(os.path.join(art_dir, f))
+            for f in os.listdir(art_dir)
+        ) / 1e6
+        log(f"export: {export_s:.1f}s, artifact {size_mb:.0f} MB")
+        out["export_s"] = round(export_s, 1)
+        out["artifact_mb"] = round(size_mb, 1)
+        with open(os.path.join(art_dir, "artifact.json")) as f:
+            out["has_executable"] = json.load(f)["executable"] is not None
+
+    if not args.export_only:
+        # ---- artifact path: load (+ compile only on fallback) + warmup
+        log("artifact path: load + warm...")
+        t0 = time.perf_counter()
+        aot = AOTScorer(art_dir, bert, rob, feats, warm=True)
+        aot_s = time.perf_counter() - t0
+        log(f"artifact standup: {aot_s:.1f}s "
+            f"(via_executable={aot.loaded_from_executable})")
+        out["artifact_standup_s"] = round(aot_s, 1)
+        out["via_executable"] = bool(aot.loaded_from_executable)
+
+        aot_scores = aot.score([ex])
+        out["aot_logits"] = [round(float(x), 6)
+                             for x in aot_scores[0]["logits"]]
+        if "live_logits" in out:
+            out["scores_bit_identical"] = bool(np.allclose(
+                out["live_logits"], out["aot_logits"], atol=0, rtol=0))
+            out["speedup"] = round(
+                out["live_standup_s"] / max(aot_s, 1e-9), 2)
+
     if not args.keep_dir:
         shutil.rmtree(art_dir, ignore_errors=True)
-
-    print(json.dumps({
-        "live_standup_s": round(live_s, 1),
-        "artifact_standup_s": round(aot_s, 1),
-        "speedup": round(live_s / max(aot_s, 1e-9), 2),
-        "export_s": round(export_s, 1),
-        "artifact_mb": round(size_mb, 1),
-        "scores_bit_identical": match,
-        "micro_batch": args.micro_batch,
-    }))
+    if args.cold_cache:
+        shutil.rmtree(cache_dir, ignore_errors=True)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
