@@ -86,6 +86,10 @@ def main(argv=None):
                    help="uniform dropout (see train_real_pmr.py for the "
                         "measured from-scratch rationale)")
     p.add_argument("--roberta_dropout", type=float, default=None)
+    p.add_argument("--stage1_compute", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="stage-1 compute dtype override (default: bf16 at "
+                        "full size; fp32 under --tiny)")
     p.add_argument("--stage1_dropout", type=float, default=None,
                    help="override encoder dropout for stage 1 only "
                         "(dropout is not geometry; the graft still lands)")
@@ -169,6 +173,15 @@ def main(argv=None):
     train_ex = [examples[i] for i in order[:n_train]]
     val_ex = [examples[i] for i in order[n_train:]]
     logger.info("examples: %d train / %d held-out", len(train_ex), len(val_ex))
+    if len(train_ex) < max(args.batch, args.stage1_batch):
+        # drop_last=True would otherwise yield an EMPTY loader and the
+        # stage-2 `next(iter(...))` dies with a bare StopIteration
+        clamped = max(1, len(train_ex))
+        logger.warning("clamping batch sizes %d/%d -> %d (only %d train "
+                       "examples)", args.stage1_batch, args.batch, clamped,
+                       len(train_ex))
+        args.stage1_batch = min(args.stage1_batch, clamped)
+        args.batch = min(args.batch, clamped)
 
     feats = synthetic_features(
         {ex.img_id for ex in examples}, enc_cfg.img_feature_dim,
@@ -209,6 +222,12 @@ def main(argv=None):
             enc_cfg, hidden_dropout_prob=args.stage1_dropout,
             attention_probs_dropout_prob=args.stage1_dropout,
         )
+    if args.stage1_compute is not None:
+        # dtype lives on the MODULE config (EncoderConfig.dtype ->
+        # c.jnp_dtype inside every Dense/attention); TrainConfig.compute_dtype
+        # is descriptive only. Without this replace the flag is a no-op —
+        # observed as bit-identical bf16/fp32 probe traces.
+        enc1_cfg = dataclasses.replace(enc1_cfg, dtype=args.stage1_compute)
     model1 = ChunkAlignClassifier(
         enc1_cfg, cfg2.chunkalign, num_labels=cfg2.num_labels,
         max_chunks=cfg2.max_chunks, align_weight=args.align_weight,
@@ -220,7 +239,8 @@ def main(argv=None):
         valid_steps=args.valid_steps, epoch_begin=1, seed=args.seed,
         freeze_encoders=False,      # the point of stage 1 (v10.py: no no_grad)
         seq_enc_lr_scale=args.seq_lr_scale,
-        compute_dtype="float32" if args.tiny else "bfloat16",
+        compute_dtype=args.stage1_compute
+        or ("float32" if args.tiny else "bfloat16"),
     )
     train_dl1 = DataLoader(train_ds, args.stage1_batch, shuffle=True,
                            seed=args.seed, drop_last=True)
