@@ -79,6 +79,10 @@ def main(argv=None):
                         "both towers need the full lr")
     p.add_argument("--warmup", type=int, default=50)
     p.add_argument("--valid_steps", type=int, default=50)
+    p.add_argument("--stage1_valid_steps", type=int, default=None,
+                   help="stage-1 validation cadence (default: --valid_steps);"
+                        " stage-1 runs many more steps than stage 2, so a"
+                        " coarser cadence keeps eval overhead bounded")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
@@ -236,7 +240,8 @@ def main(argv=None):
         learning_rate=args.lr1, warmup_steps=args.warmup,
         max_steps=args.stage1_steps, num_train_epochs=10_000,
         per_device_batch_size=args.stage1_batch,
-        valid_steps=args.valid_steps, epoch_begin=1, seed=args.seed,
+        valid_steps=args.stage1_valid_steps or args.valid_steps,
+        epoch_begin=1, seed=args.seed,
         freeze_encoders=False,      # the point of stage 1 (v10.py: no no_grad)
         seq_enc_lr_scale=args.seq_lr_scale,
         compute_dtype=args.stage1_compute
@@ -244,7 +249,10 @@ def main(argv=None):
     )
     train_dl1 = DataLoader(train_ds, args.stage1_batch, shuffle=True,
                            seed=args.seed, drop_last=True)
-    trainer1 = Trainer(model1, tcfg1, train_dl1, val_dl, logger=logger)
+    # best-acc Orbax checkpointing so the surgery grafts the BEST stage-1
+    # towers, not wherever the loop happened to stop (fit returns final)
+    trainer1 = Trainer(model1, tcfg1, train_dl1, val_dl, logger=logger,
+                       checkpoint_dir=os.path.join(args.out, "stage1_ckpt"))
 
     t0 = time.time()
     state1 = trainer1.init_state()
@@ -259,6 +267,10 @@ def main(argv=None):
     s1_final = trainer1.evaluate(state1.params)
     logger.info("stage-1 done: best %.4f final %.4f (%.0fs)",
                 trainer1.best_acc, s1_final, s1_wall)
+    if trainer1.ckpt is not None and trainer1.ckpt.latest_step() is not None:
+        state1 = trainer1.ckpt.restore(state1)
+        logger.info("stage-1: restored best checkpoint (step %d) for export",
+                    int(state1.step))
 
     # ---- export through the reference's checkpoint layout
     params1 = jax.tree.map(np.asarray, state1.params)
