@@ -19,6 +19,7 @@ import os
 import sys
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -71,6 +72,105 @@ def hammer(port: int, n_clients: int, n_requests: int):
     return time.perf_counter() - t0, sorted(lat), errors
 
 
+def hammer_timed(port: int, n_clients: int, seconds: float):
+    """n_clients closed-loop threads for a fixed window, NO retry on shed.
+    Returns {"ok": sorted latencies, "shed_429": n, "expired_503": n,
+    "errors": n, "wall": s, "max_depth": peak /stats queue depth}."""
+    lat: list = []
+    counts = {"shed_429": 0, "expired_503": 0, "errors": 0}
+    lock = threading.Lock()
+    stop = time.perf_counter() + seconds
+    depth_peak = [0]
+
+    def client(cid: int):
+        i = 0
+        while time.perf_counter() < stop:
+            i += 1
+            body = json.dumps({"examples": [{
+                "example_id": f"c{cid}-{i}", "img_id": f"img-{i % 8}",
+                "premise": f"premise {cid} {i} about the scene .",
+                "answer_choices": [f"answer {i} option {j} ."
+                                   for j in range(4)],
+            }]}).encode()
+            t0 = time.perf_counter()
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/score", data=body,
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    json.loads(r.read())
+                with lock:
+                    lat.append(time.perf_counter() - t0)
+            except urllib.error.HTTPError as e:
+                key = ("shed_429" if e.code == 429
+                       else "expired_503" if e.code == 503 else "errors")
+                e.read()
+                with lock:
+                    counts[key] += 1
+            except Exception:
+                with lock:
+                    counts["errors"] += 1
+
+    def depth_sampler():
+        while time.perf_counter() < stop:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/stats", timeout=5) as r:
+                    st = json.loads(r.read())
+                d = int(st.get("routes", {}).get("score", {})
+                        .get("queue_depth", 0))
+                depth_peak[0] = max(depth_peak[0], d)
+            except Exception:
+                pass
+            time.sleep(0.05)
+
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(n_clients)]
+    sampler = threading.Thread(target=depth_sampler, daemon=True)
+    t0 = time.perf_counter()
+    sampler.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return {"ok": sorted(lat), "wall": time.perf_counter() - t0,
+            "max_depth": depth_peak[0], **counts}
+
+
+def run_overload(scorer, args) -> dict:
+    """Saturation-knee measurement (VERDICT r3 #4): closed-loop client
+    sweep against (a) the default bounded queue and (b) an effectively
+    unbounded one, fixed wall-clock window each.  Overload must degrade to
+    fast 429s with bounded accepted-latency, not to unbounded queueing."""
+    from multimodal_context_reasoning_tpu.serving.server import serve
+
+    out = {"window_s": args.seconds, "micro_batch": args.micro_batch,
+           "sweep": []}
+    for label, max_qb in (("bounded_q8", 8), ("unbounded", 100000)):
+        for clients in args.client_sweep:
+            server = serve(scorer, port=args.port, block=False,
+                           batching=True, max_wait_ms=args.max_wait_ms,
+                           max_queue_batches=max_qb)
+            hammer(args.port, 1, 2)  # prime threads
+            r = hammer_timed(args.port, clients, args.seconds)
+            server.modcr_close()
+            time.sleep(0.5)
+            ok = r.pop("ok")
+            row = {
+                "mode": label, "clients": clients,
+                "accepted_rps": round(len(ok) / r["wall"], 2),
+                "p50_ms": round(1e3 * ok[len(ok) // 2], 1) if ok else None,
+                "p90_ms": (round(1e3 * ok[int(len(ok) * 0.9)], 1)
+                           if ok else None),
+                "shed_429": r["shed_429"], "expired_503": r["expired_503"],
+                "errors": r["errors"], "max_queue_depth": r["max_depth"],
+            }
+            out["sweep"].append(row)
+            print(f"[serve-bench] overload {row}", file=sys.stderr,
+                  flush=True)
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--clients", type=int, default=8)
@@ -81,6 +181,15 @@ def main():
     p.add_argument("--device_features", action="store_true",
                    help="HBM-resident feature table: requests ship int32 "
                         "ids, not [I, F] floats (data/device_table.py)")
+    p.add_argument("--overload", action="store_true",
+                   help="saturation-knee sweep: closed-loop clients, no "
+                        "retry; reports accepted rps / shed rate / bounded "
+                        "latency for bounded vs unbounded queue")
+    p.add_argument("--seconds", type=float, default=15.0,
+                   help="--overload: wall-clock window per sweep point")
+    p.add_argument("--client_sweep", type=int, nargs="+",
+                   default=[8, 16, 32],
+                   help="--overload: concurrent closed-loop client counts")
     args = p.parse_args()
 
     import jax
@@ -140,6 +249,10 @@ def main():
     scorer = ModCRScorer(cfg, params, bert, rob, feats,
                          micro_batch=args.micro_batch, warm=True,
                          use_device_table=args.device_features)
+
+    if args.overload:
+        print(json.dumps(run_overload(scorer, args)))
+        return
 
     results = {}
     for mode, batching in (("locked", False), ("batched", True)):
