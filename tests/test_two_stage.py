@@ -31,7 +31,10 @@ def test_two_stage_driver_end_to_end(tmp_path):
     curve = main([
         "--tiny", "--stage1_steps", "8", "--stage2_steps", "8",
         "--batch", "4", "--stage1_batch", "4", "--limit", "48",
-        "--valid_steps", "4", "--warmup", "2",
+        "--valid_steps", "4", "--stage1_valid_steps", "2", "--warmup", "2",
+        # exercise the dtype decoupling knob (full size defaults bf16;
+        # BENCHMARKS "Stage-1 trainability" has the measured rationale)
+        "--stage1_compute", "float32",
         "--out", str(tmp_path),
     ])
 
@@ -44,6 +47,10 @@ def test_two_stage_driver_end_to_end(tmp_path):
         curve["stage2"]["post_surgery_acc"])
     assert (tmp_path / "curve.json").exists()
     assert json.load(open(tmp_path / "curve.json"))["stage1"]
+    # best-acc Orbax checkpointing: whenever stage 1 improved, the export
+    # must come from the restored BEST step, which implies a checkpoint
+    if curve["stage1"]["best_acc"] > 0:
+        assert (tmp_path / "stage1_ckpt").exists()
 
     # the stage-1 export is the reference's checkpoint layout: seq_enc. keys
     # (what run_PMR_ModCR.py:756-762 strips and loads) plus the trained
