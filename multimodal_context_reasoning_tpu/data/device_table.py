@@ -81,7 +81,7 @@ class DeviceFeatureTable:
 
     @classmethod
     def for_config(
-        cls, image_features, cfg, *, capacity: int = None
+        cls, image_features, cfg, *, capacity: Optional[int] = None
     ) -> "DeviceFeatureTable":
         """Build with geometry + dtype derived from a ``ModCRConfig`` —
         the table dtype must follow the compute dtype (the forward casts
