@@ -41,6 +41,7 @@ class Trainer:
         profile_start: int = 10,
         profile_steps: int = 3,
         tensorboard_dir: Optional[str] = None,
+        checkpoint_params_only: bool = False,
     ):
         self.model = model
         self.cfg = cfg
@@ -88,8 +89,12 @@ class Trainer:
             )
 
             self._to_device = lambda b: global_batch(b, mesh)
+        # params_only: best-acc saves for export-only consumers skip the
+        # AdamW moments (3x smaller D2H per save; no resume from them)
         self.ckpt = (
-            CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+            CheckpointManager(checkpoint_dir,
+                              params_only=checkpoint_params_only)
+            if checkpoint_dir else None
         )
         self.best_acc = 0.0
         # steps-vs-accuracy curve: one dict per mid-training validation

@@ -250,9 +250,13 @@ def main(argv=None):
     train_dl1 = DataLoader(train_ds, args.stage1_batch, shuffle=True,
                            seed=args.seed, drop_last=True)
     # best-acc Orbax checkpointing so the surgery grafts the BEST stage-1
-    # towers, not wherever the loop happened to stop (fit returns final)
+    # towers, not wherever the loop happened to stop (fit returns final).
+    # params_only: these checkpoints exist solely for the export below —
+    # skipping the AdamW moments cuts each blocking save ~3x (2.7 GB ->
+    # ~0.9 GB of D2H through the tunnel)
     trainer1 = Trainer(model1, tcfg1, train_dl1, val_dl, logger=logger,
-                       checkpoint_dir=os.path.join(args.out, "stage1_ckpt"))
+                       checkpoint_dir=os.path.join(args.out, "stage1_ckpt"),
+                       checkpoint_params_only=True)
 
     t0 = time.time()
     state1 = trainer1.init_state()
@@ -267,13 +271,14 @@ def main(argv=None):
     s1_final = trainer1.evaluate(state1.params)
     logger.info("stage-1 done: best %.4f final %.4f (%.0fs)",
                 trainer1.best_acc, s1_final, s1_wall)
+    params1 = jax.tree.map(np.asarray, state1.params)
     if trainer1.ckpt is not None and trainer1.ckpt.latest_step() is not None:
-        state1 = trainer1.ckpt.restore(state1)
-        logger.info("stage-1: restored best checkpoint (step %d) for export",
-                    int(state1.step))
+        trainer1.ckpt.wait()
+        params1 = trainer1.ckpt.restore_params(best=True)
+        logger.info("stage-1: restored best checkpoint (step %s) for export",
+                    trainer1.ckpt.best_step() or trainer1.ckpt.latest_step())
 
     # ---- export through the reference's checkpoint layout
-    params1 = jax.tree.map(np.asarray, state1.params)
     sd = export_chunkalign_cls_state_dict(params1, enc_cfg)
     np.savez(os.path.join(args.out, "chunkalign_cls_state_dict.npz"), **sd)
     logger.info("stage-1 export: %d keys -> %s", len(sd),
