@@ -29,23 +29,6 @@ from typing import Dict, List
 import numpy as np
 
 
-def load_clip_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """OpenAI .pt (TorchScript archive or plain dict) or HF .bin → flat
-    numpy state dict (torch_bridge.convert_clip handles both layouts)."""
-    import torch
-
-    try:
-        raw = torch.load(path, map_location="cpu", weights_only=False)
-    except RuntimeError:
-        raw = torch.jit.load(path, map_location="cpu")
-    if hasattr(raw, "state_dict"):
-        raw = raw.state_dict()
-    if isinstance(raw, dict) and "state_dict" in raw:
-        raw = raw["state_dict"]
-    return {k: v.detach().cpu().float().numpy() for k, v in raw.items()
-            if hasattr(v, "detach")}
-
-
 def render_plain(tokens, objects) -> str:
     """PMR mixed token/[idx] rows → plain text for CLIP (object names
     without the ``<|det#|>`` markers the BERT towers use — CLIP's BPE
@@ -60,17 +43,20 @@ def render_plain(tokens, objects) -> str:
     return " ".join(words)
 
 
-def _batched(fn, rows: np.ndarray, batch: int) -> np.ndarray:
-    """Run ``fn`` over ``rows`` in static-size batches (pad the tail so
-    the jitted program never recompiles)."""
+def _batched(fn, items, batch: int, make_rows=None) -> np.ndarray:
+    """Run ``fn`` over ``items`` in static-size batches (pad the tail so
+    the jitted program never recompiles).  ``make_rows`` materializes one
+    chunk just-in-time — images are ~600 KB/row as f32, so stacking a
+    whole split up front would pin GBs of host RAM for nothing."""
     out = []
-    for i in range(0, len(rows), batch):
-        chunk = rows[i: i + batch]
-        pad = batch - len(chunk)
+    for i in range(0, len(items), batch):
+        chunk = items[i: i + batch]
+        rows = make_rows(chunk) if make_rows is not None else np.asarray(chunk)
+        pad = batch - len(rows)
         if pad:
-            chunk = np.concatenate([chunk, np.repeat(
-                chunk[-1:], pad, axis=0)], axis=0)
-        emb = np.asarray(fn(chunk))
+            rows = np.concatenate([rows, np.repeat(
+                rows[-1:], pad, axis=0)], axis=0)
+        emb = np.asarray(fn(rows))
         out.append(emb[: batch - pad])
     return np.concatenate(out, axis=0)
 
@@ -91,6 +77,12 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny tower geometry (tests/smoke)")
+    p.add_argument("--config_overrides", default="",
+                   help="JSON dict of CLIPConfig field overrides, e.g. "
+                        '\'{"vocab_size": 600}\' to match a reduced BPE '
+                        "table (the model vocab must cover every token id)")
     args = p.parse_args(argv)
 
     import jax
@@ -106,10 +98,17 @@ def main(argv=None):
     from multimodal_context_reasoning_tpu.data.feature_store import write_pack
     from multimodal_context_reasoning_tpu.interop.torch_bridge import (
         convert_clip,
+        load_clip_checkpoint,
     )
     from multimodal_context_reasoning_tpu.models.clip import CLIP
 
-    cfg = CLIPConfig(dtype=args.dtype)
+    import dataclasses
+
+    cfg = CLIPConfig.tiny() if args.tiny else CLIPConfig()
+    cfg = dataclasses.replace(
+        cfg, dtype=args.dtype,
+        **(json.loads(args.config_overrides) if args.config_overrides
+           else {}))
     model = CLIP(cfg)
     params = {"params": convert_clip(load_clip_checkpoint(args.checkpoint))}
 
@@ -125,11 +124,11 @@ def main(argv=None):
         for r in rows:
             by_img.setdefault(str(r["img_id"]), r["img_fn"])
         keys = sorted(by_img)
-        pixels = np.stack([
-            preprocess_image(os.path.join(args.images_root, by_img[k]),
-                             cfg.image_size) for k in keys])
-        emb = _batched(lambda x: encode_image(jnp.asarray(x)),
-                       pixels, args.batch)
+        emb = _batched(
+            lambda x: encode_image(jnp.asarray(x)), keys, args.batch,
+            make_rows=lambda ks: np.stack([
+                preprocess_image(os.path.join(args.images_root, by_img[k]),
+                                 cfg.image_size) for k in ks]))
         write_pack({k: emb[i: i + 1].astype(np.float32)
                     for i, k in enumerate(keys)}, args.out_image_pack)
         print(f"[precompute-clip] image pack: {len(keys)} ids "

@@ -42,13 +42,18 @@ def preprocess_image(image, image_size: int = 224) -> np.ndarray:
 
     img = _to_pil(image)
     w, h = img.size
-    short = min(w, h)
-    # torchvision Resize(n) semantics: short side → n, aspect preserved.
-    nw = max(image_size, round(w * image_size / short))
-    nh = max(image_size, round(h * image_size / short))
+    # torchvision Resize(n) semantics (the reference's clip.load
+    # preprocess): short side → n exactly, long side TRUNCATED to
+    # int(n * long / short) — round() here would shift every pixel of the
+    # resampled grid vs the reference on ~half of aspect ratios.
+    if w <= h:
+        nw, nh = image_size, int(image_size * h / w)
+    else:
+        nw, nh = int(image_size * w / h), image_size
     img = img.resize((nw, nh), Image.BICUBIC)
-    left = (nw - image_size) // 2
-    top = (nh - image_size) // 2
+    # torchvision CenterCrop: offsets are int(round(diff / 2.0)), not //2
+    left = int(round((nw - image_size) / 2.0))
+    top = int(round((nh - image_size) / 2.0))
     img = img.crop((left, top, left + image_size, top + image_size))
     arr = np.asarray(img, np.float32) / 255.0
     return (arr - CLIP_MEAN) / CLIP_STD

@@ -455,6 +455,24 @@ def convert_clip(sd: StateDict) -> Dict[str, Any]:
             "logit_scale": _require(sd, "logit_scale").reshape(())}
 
 
+def load_clip_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """OpenAI .pt (TorchScript archive or plain dict) or HF .bin → flat
+    numpy state dict for :func:`convert_clip` (torch stays in interop/
+    per the repo convention — the compute path never imports it)."""
+    import torch
+
+    try:
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+    except RuntimeError:
+        raw = torch.jit.load(path, map_location="cpu")
+    if hasattr(raw, "state_dict"):
+        raw = raw.state_dict()
+    if isinstance(raw, dict) and "state_dict" in raw:
+        raw = raw["state_dict"]
+    return {k: v.detach().cpu().float().numpy() for k, v in raw.items()
+            if hasattr(v, "detach")}
+
+
 def merge_into(params: Dict[str, Any], sub: Dict[str, Any],
                path: Tuple[str, ...]) -> None:
     """Graft ``sub`` into ``params['params'][*path]`` in place, checking

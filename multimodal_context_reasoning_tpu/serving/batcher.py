@@ -120,7 +120,10 @@ class MicroBatcher:
         # CPU is better spent on requests that will actually run.
         # qsize() is approximate across threads; a transient overshoot of
         # a few items is fine — the invariant is O(capacity), not exact.
-        if self._q.qsize() + len(examples) > self.capacity:
+        # A request LARGER than the whole capacity is not rejected outright
+        # (it would 429 forever, even on an idle server) — it admits only
+        # when the queue has fully drained, overshooting once by its size.
+        if self._q.qsize() + len(examples) > max(self.capacity, len(examples)):
             with self._stats_lock:
                 self.rejected += len(examples)
             raise Overloaded(

@@ -143,8 +143,10 @@ def main():
         log(f"live standup: {live_s:.1f}s")
         live_scores = scorer.score([ex])
         out["live_standup_s"] = round(live_s, 1)
-        out["live_logits"] = [round(float(x), 6)
-                              for x in live_scores[0]["logits"]]
+        # rounded copies are for the REPORT only; the bit-identity check
+        # below compares the raw float values
+        live_raw = [float(x) for x in live_scores[0]["logits"]]
+        out["live_logits"] = [round(x, 6) for x in live_raw]
 
         # ---- export (one-time cost, reported separately)
         t0 = time.perf_counter()
@@ -172,11 +174,11 @@ def main():
         out["via_executable"] = bool(aot.loaded_from_executable)
 
         aot_scores = aot.score([ex])
-        out["aot_logits"] = [round(float(x), 6)
-                             for x in aot_scores[0]["logits"]]
+        aot_raw = [float(x) for x in aot_scores[0]["logits"]]
+        out["aot_logits"] = [round(x, 6) for x in aot_raw]
         if "live_logits" in out:
             out["scores_bit_identical"] = bool(np.allclose(
-                out["live_logits"], out["aot_logits"], atol=0, rtol=0))
+                live_raw, aot_raw, atol=0, rtol=0))
             out["speedup"] = round(
                 out["live_standup_s"] / max(aot_s, 1e-9), 2)
 

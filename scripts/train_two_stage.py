@@ -204,9 +204,23 @@ def main(argv=None):
             DeviceFeatureTable,
         )
 
-        table = DeviceFeatureTable.for_config(feats, cfg2)
-        logger.info("device feature table resident: %d images, %.1f MB",
-                    len(table.row), table.nbytes / 1e6)
+        # The ONE table feeds both stages.  If either stage computes fp32
+        # (--stage1_compute float32: the trainability-probe arm), the rows
+        # must be stored fp32 — a bf16 table would quantize the "fp32"
+        # arm's image features identically to the bf16 arm, confounding
+        # the comparison.  fp32 rows under bf16 compute are harmless: the
+        # forward casts features to the compute dtype in-graph, which
+        # rounds exactly as a bf16-resident table would.
+        s1_dtype = args.stage1_compute or (
+            "float32" if args.tiny else "bfloat16")
+        table_dtype = (
+            "float32"
+            if "float32" in (s1_dtype, cfg2.global_encoder.dtype)
+            else "bfloat16")
+        table = DeviceFeatureTable(feats, img_len=cfg2.img_len,
+                                   dtype=table_dtype)
+        logger.info("device feature table resident: %d images, %.1f MB "
+                    "(%s)", len(table.row), table.nbytes / 1e6, table_dtype)
 
     def mk(exs):
         ds = dataset_cls(exs, feats, bert, rob_tok, spec=spec,

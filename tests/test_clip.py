@@ -5,6 +5,8 @@ preprocessing semantics, and the clip ensembles running end-to-end from
 pixels (closing VERDICT r3 missing #1: modeling_ensemble.py:804-806 with
 no out-of-band software)."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -226,6 +228,26 @@ class TestPreprocess:
         b = preprocess_image(Image.fromarray(arr), image_size=32)
         np.testing.assert_array_equal(a, b)
 
+    def test_torchvision_geometry_oracle(self):
+        """Resize/crop arithmetic must match torchvision's (the reference's
+        clip.load preprocess): long side int-TRUNCATED (not rounded), crop
+        offsets int(round(diff/2)).  Oracle: the same PIL ops with
+        torchvision's documented arithmetic, hand-computed.  640x480 @ 224
+        → resize (298, 224) [int(224*640/480)=298, round() would say 299],
+        crop left=int(round(74/2.0))=37."""
+        from PIL import Image
+
+        rng = np.random.default_rng(2)
+        arr = rng.integers(0, 255, size=(480, 640, 3)).astype(np.uint8)
+        got = preprocess_image(arr, image_size=224)
+        ref = (
+            Image.fromarray(arr).convert("RGB")
+            .resize((298, 224), Image.BICUBIC)
+            .crop((37, 0, 37 + 224, 0 + 224))
+        )
+        want = (np.asarray(ref, np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+        np.testing.assert_array_equal(got, want)
+
 
 class TestClipEnsemblesFromPixels:
     """The reference's clip_model/clip_model_r forwards, from pixels,
@@ -329,3 +351,99 @@ class TestClipEnsemblesFromPixels:
         out = jax.jit(model.apply)(var, jnp.asarray(px), jnp.asarray(ids))
         assert out.logits.dtype == jnp.float32
         assert np.isfinite(np.asarray(out.logits)).all()
+
+
+class TestPrecomputeCLI:
+    def test_end_to_end_packs_match_direct_towers(self, tmp_path):
+        """cli/precompute_clip on a 3-example jsonl with real PNG files and
+        a reduced BPE table: the written .mcrpack embeddings must equal
+        encoding the same pixels/ids directly through the Flax towers."""
+        from PIL import Image
+
+        from multimodal_context_reasoning_tpu.cli import precompute_clip
+        from multimodal_context_reasoning_tpu.data.clip_tokenizer import (
+            build_test_merges,
+        )
+        from multimodal_context_reasoning_tpu.data.feature_store import (
+            FeatureStore,
+        )
+        from multimodal_context_reasoning_tpu.interop.clip_torch import (
+            CLIPTorch,
+        )
+
+        merges = build_test_merges(
+            ["a", "photo", "of", "cat", "dog", "mat"] * 3)
+        vocab_size = 512 + len(merges) + 2
+        import dataclasses as _dc
+
+        cfg = _dc.replace(CFG, vocab_size=vocab_size)
+
+        # OpenAI-layout checkpoint at the reduced-vocab tiny geometry
+        torch.manual_seed(7)
+        tm = CLIPTorch(cfg).eval()
+        ckpt = tmp_path / "tiny_clip.pt"
+        torch.save(tm.state_dict(), str(ckpt))
+
+        # merges file in the published format (header line, then pairs)
+        bpe = tmp_path / "merges.txt"
+        bpe.write_text("#version: test\n"
+                       + "\n".join(" ".join(m) for m in merges) + "\n")
+
+        # real image files + jsonl rows
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(3):
+            arr = rng.integers(0, 255, size=(40 + 7 * i, 50, 3)) \
+                .astype(np.uint8)
+            fn = f"img_{i}.png"
+            Image.fromarray(arr).save(str(tmp_path / fn))
+            rows.append({
+                "img_id": f"img-{i}", "img_fn": fn,
+                "total_id": f"ex-{i}",
+                "answer_choices": ["a photo of cat", "a photo of dog",
+                                   "dog on mat", "cat on mat"],
+            })
+        jsonl = tmp_path / "ex.jsonl"
+        jsonl.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+        img_pack = str(tmp_path / "clip_img.mcrpack")
+        txt_pack = str(tmp_path / "clip_txt.mcrpack")
+        precompute_clip.main([
+            "--checkpoint", str(ckpt), "--bpe_vocab", str(bpe),
+            "--examples_jsonl", str(jsonl), "--images_root", str(tmp_path),
+            "--out_image_pack", img_pack, "--out_text_pack", txt_pack,
+            "--batch", "2", "--tiny",
+            "--config_overrides", json.dumps({"vocab_size": vocab_size}),
+        ])
+
+        # oracle: the same inputs straight through the Flax towers
+        from multimodal_context_reasoning_tpu.data.clip_tokenizer import (
+            ClipTokenizer,
+        )
+
+        params = {"params": convert_clip(
+            {k: v.detach().numpy() for k, v in tm.state_dict().items()})}
+        model = CLIP(cfg)
+        tok = ClipTokenizer(str(bpe))
+        assert tok.vocab_size == vocab_size
+
+        imgs = FeatureStore(img_pack)
+        assert sorted(imgs.keys()) == [f"img-{i}" for i in range(3)]
+        for i in range(3):
+            px = preprocess_image(str(tmp_path / f"img_{i}.png"),
+                                  cfg.image_size)[None]
+            want = np.asarray(model.apply(params, jnp.asarray(px),
+                                          method=model.encode_image))
+            got = imgs[f"img-{i}"].features
+            np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+        txts = FeatureStore(txt_pack)
+        assert sorted(txts.keys()) == [f"ex-{i}" for i in range(3)]
+        ids = tok.tokenize(rows[0]["answer_choices"], cfg.context_length,
+                           truncate=True)
+        want = np.asarray(model.apply(params, jnp.asarray(ids),
+                                      method=model.encode_text))
+        np.testing.assert_allclose(txts["ex-0"].features, want,
+                                   atol=1e-5, rtol=1e-5)
+        imgs.close()
+        txts.close()

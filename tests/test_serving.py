@@ -974,6 +974,24 @@ class TestBackPressure:
         finally:
             batcher.close()
 
+    def test_oversized_request_admits_on_idle_queue(self):
+        """A request larger than the whole queue capacity must not be
+        rejected forever: it admits when the queue has drained (overshoot
+        by one request), instead of 429-looping on an idle server."""
+        from multimodal_context_reasoning_tpu.serving.batcher import (
+            MicroBatcher,
+        )
+
+        batcher = MicroBatcher(SlowStubScorer(delay=0.01), max_wait_ms=1.0,
+                               max_queue_batches=2)  # capacity = 2
+        try:
+            exs = [RawExample(f"e{i}", "img-0", "p .", ["a ."] * 4, None)
+                   for i in range(batcher.capacity + 3)]
+            out = batcher.score(exs)  # idle queue: must be accepted
+            assert len(out) == len(exs)
+        finally:
+            batcher.close()
+
     def test_no_shedding_under_light_load(self, scorer):
         """Back-pressure must be invisible off the saturation knee: the
         real tiny scorer with default knobs serves everything with 200."""
