@@ -21,3 +21,7 @@ from multimodal_context_reasoning_tpu.models.clip_ensemble import (  # noqa: F40
     ClipOnlyModel,
     ClipSimilarityFusion,
 )
+from multimodal_context_reasoning_tpu.models.rationale import (  # noqa: F401
+    RationaleForTraining,
+    RationaleModel,
+)

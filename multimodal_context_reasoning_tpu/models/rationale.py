@@ -275,3 +275,52 @@ class RationaleModel(nn.Module):
             decoder_memory=mem_q,
             decoder_memory_mask=mask_q,
         )
+
+
+class RationaleTrainOutput(NamedTuple):
+    loss: jnp.ndarray        # optimized scalar: cls CE + gen_weight × XE
+    align_loss: jnp.ndarray  # 0 — this family has no alignment term
+    logits: jnp.ndarray      # [Q, num_labels] log choice probabilities
+    gen_loss: jnp.ndarray
+    cls_loss: jnp.ndarray
+
+
+class RationaleForTraining:
+    """Trainer-interface facade over :class:`RationaleModel`.
+
+    The reference ships the rationale family as modules only — no training
+    entry point exists in its repo, and the forward returns the two losses
+    separately (``gen_loss, loss_cls_0, matched_0``,
+    modeling_vcr_chunkalign_v10.py:1408).  This facade sums them —
+    ``cls CE + gen_weight × teacher-forcing XE`` — and exposes the
+    ``loss / logits / align_loss`` contract ``train/step.py`` expects, so
+    ``Trainer.fit`` drives the family unchanged.  ``init``/``apply``
+    DELEGATE to the wrapped module: the param tree is exactly
+    ``RationaleModel``'s, so trained checkpoints interchange freely with
+    the serving generator and the torch bridge
+    (interop/assemble.py::assemble_rationale_params / export).
+    """
+
+    def __init__(self, model: RationaleModel, *, gen_weight: float = 1.0):
+        self.model = model
+        self.gen_weight = gen_weight
+
+    def init(self, rng, inputs):
+        return self.model.init(rng, inputs)
+
+    def apply(self, params, inputs, *, deterministic: bool = True,
+              rngs=None):
+        out = self.model.apply(
+            params, inputs, deterministic=deterministic, rngs=rngs
+        )
+        loss = out.cls_loss + self.gen_weight * out.gen_loss
+        # mp_probs are the 4-way choice probabilities; log keeps the
+        # argmax semantics _metrics needs and stays finite for pad rows
+        logits = jnp.log(jnp.maximum(out.mp_probs, 1e-20))
+        return RationaleTrainOutput(
+            loss=loss,
+            align_loss=jnp.zeros_like(loss),
+            logits=logits,
+            gen_loss=out.gen_loss,
+            cls_loss=out.cls_loss,
+        )

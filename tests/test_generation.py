@@ -281,6 +281,84 @@ class TestRationale:
         np.testing.assert_allclose(mp[0, 2], 0.5, atol=1e-3)
         np.testing.assert_allclose(mp[0, 3], 0.5, atol=1e-3)
 
+    def test_trainer_fit_drives_the_family(self):
+        """RationaleForTraining: Trainer.fit optimizes cls CE + XE on the
+        unchanged param tree (the reference ships these modules with NO
+        training entry; v10.py:1408 returns the losses separately).  Both
+        loss terms must drop, and the trained params must drive the plain
+        RationaleModel (serving/bridge interop) unchanged."""
+        from multimodal_context_reasoning_tpu.core.config import TrainConfig
+        from multimodal_context_reasoning_tpu.models.rationale import (
+            RationaleForTraining,
+        )
+        from multimodal_context_reasoning_tpu.train.trainer import Trainer
+
+        enc = EncoderConfig(
+            vocab_size=256, hidden_size=32, num_hidden_layers=4,
+            num_attention_heads=4, intermediate_size=64,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            max_position_embeddings=128, img_feature_dim=20,
+        )
+        sched = ChunkAlignConfig(chunk_layers_end=1, full_layers_end=2)
+        gpt = GPT2Config(
+            vocab_size=128, n_positions=128, n_embd=32, n_layer=2, n_head=4,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0, pad_token_id=0,
+        )
+        facade = RationaleForTraining(
+            RationaleModel(enc, sched, gpt, max_chunks=8))
+
+        rng = np.random.default_rng(3)
+        Q, K, T, I = 2, 4, 12, 6
+        B = Q * K
+        label = np.zeros((B,), np.int32)
+        label[::K] = 1
+        batch = {
+            "input_ids": rng.integers(4, 256, size=(B, T)).astype(np.int32),
+            "text_mask": np.ones((B, T), np.float32),
+            "img_feat": rng.normal(size=(B, I, 20)).astype(np.float32),
+            "img_mask": np.ones((B, I), np.float32),
+            "chunk_mask": np.ones((B, T, T), np.float32),
+            "gather_index": np.full((B, T), -1, np.int32),
+            "label": label,
+            "expl_ids": rng.integers(2, 128, size=(Q, 10)).astype(np.int32),
+            "expl_mask": np.ones((Q, 10), np.float32),
+            "example_mask": np.ones((Q,), np.float32),
+        }
+
+        class _ListLoader:
+            def __init__(self, batches):
+                self.batches = batches
+
+            def __len__(self):
+                return len(self.batches)
+
+            def __iter__(self):
+                return iter(self.batches)
+
+        loader = _ListLoader([batch, batch])
+        tcfg = TrainConfig(learning_rate=5e-3, scheduler="constant",
+                           max_steps=12, num_train_epochs=100,
+                           per_device_batch_size=Q, seed=0,
+                           freeze_encoders=False)
+        trainer = Trainer(facade, tcfg, loader, _ListLoader([batch]))
+        state = trainer.init_state()
+
+        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if k != "example_mask"}
+        first = facade.apply(state.params, dev_batch)
+        state = trainer.fit(state)
+        last = facade.apply(state.params, dev_batch)
+        assert float(last.loss) < float(first.loss)
+        assert float(last.cls_loss) < float(first.cls_loss)
+        assert float(last.gen_loss) < float(first.gen_loss)
+
+        # trained tree drives the plain module unchanged (serving interop)
+        core = RationaleModel(enc, sched, gpt, max_chunks=8)
+        out = core.apply(state.params, dev_batch)
+        np.testing.assert_allclose(
+            np.asarray(out.mp_probs),
+            np.exp(np.asarray(last.logits)), atol=1e-5)
+
 
 class TestDecodeOracle:
     """Multi-step cached decodes vs a full-forward re-encode oracle — the
