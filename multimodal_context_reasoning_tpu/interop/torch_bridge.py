@@ -478,8 +478,6 @@ def merge_into(params: Dict[str, Any], sub: Dict[str, Any],
     """Graft ``sub`` into ``params['params'][*path]`` in place, checking
     shapes leaf-by-leaf (the non-strict-load analogue: extra target leaves
     keep their fresh init)."""
-    import jax
-
     node = params["params"]
     for k in path[:-1]:
         node = node[k]
