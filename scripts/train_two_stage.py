@@ -32,6 +32,18 @@ CPU smoke (tiny model):
 
     python scripts/train_two_stage.py --tiny --stage1_steps 20 \
         --stage2_steps 20 --batch 4 --stage1_batch 4 --limit 80
+
+Cross-task stage 1 (the reference's literal shape — its ChunkAlign
+checkpoint was pretrained on VCR, then grafted into the PMR composite):
+
+    python scripts/train_two_stage.py --task vcr \
+        --jsonl /root/reference/vcr_data/vcr_val.json \
+        --stage1_task pmr --stage1_jsonl .../val-ori.jsonl
+
+Reuse a previous run's stage-1 export without retraining:
+
+    python scripts/train_two_stage.py --stage1_npz \
+        /path/to/chunkalign_cls_state_dict.npz --stage1_steps 0
 """
 
 from __future__ import annotations
@@ -97,6 +109,27 @@ def main(argv=None):
     p.add_argument("--stage1_dropout", type=float, default=None,
                    help="override encoder dropout for stage 1 only "
                         "(dropout is not geometry; the graft still lands)")
+    p.add_argument("--stage1_npz", default=None,
+                   help="skip stage 1: graft from an existing "
+                        "chunkalign_cls_state_dict.npz (a previous run's "
+                        "stage-1 export).  This is the reference's literal "
+                        "deployment shape — its composite loads a checkpoint "
+                        "someone ELSE pretrained (run_PMR_ModCR.py:555)")
+    p.add_argument("--stage1_task", default=None,
+                   choices=["pmr", "vcr", "both"],
+                   help="pretrain stage 1 on a DIFFERENT task's data "
+                        "(default: --task).  Cross-task mirrors the "
+                        "reference, whose ChunkAlign checkpoint was trained "
+                        "on VCR and grafted into the PMR composite.  "
+                        "'both' mixes tasks (data/mixed.py) — give "
+                        "--stage1_jsonl pmr:/vcr:-prefixed entries")
+    p.add_argument("--stage1_jsonl", default=None,
+                   help="stage-1 data files (default: --jsonl).  Entries "
+                        "may carry a pmr:/vcr: prefix to select the "
+                        "loader per file.  Splits reuse the stage-2 "
+                        "seed/frac, so a file shared with --jsonl "
+                        "contributes the SAME train slice to both stages "
+                        "(no held-out leakage into stage-1 pretraining)")
     p.add_argument("--out", default="/tmp/two_stage")
     p.add_argument("--no_device_features", dest="device_features",
                    action="store_false", default=True)
@@ -198,114 +231,196 @@ def main(argv=None):
         roberta_len=cfg2.roberta_len, num_labels=cfg2.num_labels,
         img_feature_dim=enc_cfg.img_feature_dim,
     )
-    table = None
-    if args.device_features:
+    # Table rows must be fp32 if either stage computes fp32
+    # (--stage1_compute float32: the trainability-probe arm) — a bf16 table
+    # would quantize the "fp32" arm's image features identically to the
+    # bf16 arm, confounding the comparison.  fp32 rows under bf16 compute
+    # are harmless: the forward casts features to the compute dtype
+    # in-graph, which rounds exactly as a bf16-resident table would.
+    s1_dtype = args.stage1_compute or (
+        "float32" if args.tiny else "bfloat16")
+    table_dtype = (
+        "float32"
+        if "float32" in (s1_dtype, cfg2.global_encoder.dtype)
+        else "bfloat16")
+
+    def make_table(f):
+        if not args.device_features:
+            return None
         from multimodal_context_reasoning_tpu.data.device_table import (
             DeviceFeatureTable,
         )
 
-        # The ONE table feeds both stages.  If either stage computes fp32
-        # (--stage1_compute float32: the trainability-probe arm), the rows
-        # must be stored fp32 — a bf16 table would quantize the "fp32"
-        # arm's image features identically to the bf16 arm, confounding
-        # the comparison.  fp32 rows under bf16 compute are harmless: the
-        # forward casts features to the compute dtype in-graph, which
-        # rounds exactly as a bf16-resident table would.
-        s1_dtype = args.stage1_compute or (
-            "float32" if args.tiny else "bfloat16")
-        table_dtype = (
-            "float32"
-            if "float32" in (s1_dtype, cfg2.global_encoder.dtype)
-            else "bfloat16")
-        table = DeviceFeatureTable(feats, img_len=cfg2.img_len,
+        table = DeviceFeatureTable(f, img_len=cfg2.img_len,
                                    dtype=table_dtype)
         logger.info("device feature table resident: %d images, %.1f MB "
                     "(%s)", len(table.row), table.nbytes / 1e6, table_dtype)
+        return table
 
-    def mk(exs):
-        ds = dataset_cls(exs, feats, bert, rob_tok, spec=spec,
-                         max_chunks=cfg2.max_chunks)
+    def mk_ds(ds_cls, f, table, exs):
+        ds = ds_cls(exs, f, bert, rob_tok, spec=spec,
+                    max_chunks=cfg2.max_chunks)
         if table is not None:
             ds.use_device_table(table)
         return ds
 
-    train_ds, val_ds = mk(train_ex), mk(val_ex)
+    table = make_table(feats)
+    train_ds, val_ds = (mk_ds(dataset_cls, feats, table, train_ex),
+                        mk_ds(dataset_cls, feats, table, val_ex))
     val_dl = DataLoader(val_ds, args.eval_batch)
     os.makedirs(args.out, exist_ok=True)
 
-    # ================= stage 1: ChunkAlign pretrain =================
-    enc1_cfg = enc_cfg
-    if args.stage1_dropout is not None:
-        enc1_cfg = dataclasses.replace(
-            enc_cfg, hidden_dropout_prob=args.stage1_dropout,
-            attention_probs_dropout_prob=args.stage1_dropout,
+    # ---- stage-1 data: same split as stage 2 unless cross-task pretraining
+    # was requested.  Cross-task is the reference's own shape — its grafted
+    # ChunkAlign checkpoint was pretrained on VCR, not on the target task;
+    # 'both' additionally mixes the tasks (data/mixed.py).  Splits reuse the
+    # stage-2 seed/frac, so a file shared with --jsonl contributes the SAME
+    # train slice to both stages (no held-out leakage).
+    s1_task = args.stage1_task or args.task
+    s1_jsonl = args.stage1_jsonl or args.jsonl
+    s1_cross = (s1_task, s1_jsonl) != (args.task, args.jsonl)
+    if s1_cross and not args.stage1_npz:
+        def parse_entry(e):
+            head, _, rest = e.partition(":")
+            if head in ("pmr", "vcr") and rest:
+                return head, rest
+            if s1_task == "both":
+                raise ValueError(
+                    "--stage1_task both needs pmr:/vcr:-prefixed "
+                    f"--stage1_jsonl entries; got {e!r}")
+            return s1_task, e
+
+        groups = {}
+        for e in s1_jsonl.split(","):
+            t, path = parse_entry(e)
+            load1 = load_vcr_json if t == "vcr" else load_pmr_jsonl
+            groups.setdefault(t, []).extend(
+                load1(path, limit=args.limit or None))
+        feats1 = synthetic_features(
+            {ex.img_id for exs in groups.values() for ex in exs},
+            enc_cfg.img_feature_dim, max_regions=min(cfg2.img_len, 20),
         )
-    if args.stage1_compute is not None:
-        # dtype lives on the MODULE config (EncoderConfig.dtype ->
-        # c.jnp_dtype inside every Dense/attention); TrainConfig.compute_dtype
-        # is descriptive only. Without this replace the flag is a no-op —
-        # observed as bit-identical bf16/fp32 probe traces.
-        enc1_cfg = dataclasses.replace(enc1_cfg, dtype=args.stage1_compute)
-    model1 = ChunkAlignClassifier(
-        enc1_cfg, cfg2.chunkalign, num_labels=cfg2.num_labels,
-        max_chunks=cfg2.max_chunks, align_weight=args.align_weight,
-    )
-    tcfg1 = TrainConfig(
-        learning_rate=args.lr1, warmup_steps=args.warmup,
-        max_steps=args.stage1_steps, num_train_epochs=10_000,
-        per_device_batch_size=args.stage1_batch,
-        valid_steps=args.stage1_valid_steps or args.valid_steps,
-        epoch_begin=1, seed=args.seed,
-        freeze_encoders=False,      # the point of stage 1 (v10.py: no no_grad)
-        seq_enc_lr_scale=args.seq_lr_scale,
-        compute_dtype=args.stage1_compute
-        or ("float32" if args.tiny else "bfloat16"),
-    )
-    train_dl1 = DataLoader(train_ds, args.stage1_batch, shuffle=True,
-                           seed=args.seed, drop_last=True)
-    # best-acc Orbax checkpointing so the surgery grafts the BEST stage-1
-    # towers, not wherever the loop happened to stop (fit returns final).
-    # params_only: these checkpoints exist solely for the export below —
-    # skipping the AdamW moments cuts each blocking save ~3x (2.7 GB ->
-    # ~0.9 GB of D2H through the tunnel)
-    trainer1 = Trainer(model1, tcfg1, train_dl1, val_dl, logger=logger,
-                       checkpoint_dir=os.path.join(args.out, "stage1_ckpt"),
-                       checkpoint_params_only=True)
+        table1 = make_table(feats1)
+        train_parts, val_parts = [], []
+        for t in sorted(groups):
+            exs = groups[t]
+            order1 = np.random.default_rng(args.seed).permutation(len(exs))
+            n1 = int(len(exs) * args.train_frac)
+            cls1 = VCRDataset if t == "vcr" else PMRDataset
+            train_parts.append(mk_ds(cls1, feats1, table1,
+                                     [exs[i] for i in order1[:n1]]))
+            val_parts.append(mk_ds(cls1, feats1, table1,
+                                   [exs[i] for i in order1[n1:]]))
+        if len(train_parts) == 1:
+            train_ds1, val_ds1 = train_parts[0], val_parts[0]
+        else:
+            from multimodal_context_reasoning_tpu.data.mixed import (
+                MixedDataset,
+            )
 
-    t0 = time.time()
-    state1 = trainer1.init_state()
-    logger.info("stage-1 init done in %.1fs on %s", time.time() - t0,
-                jax.devices()[0].platform)
-    s1_base = trainer1.evaluate(state1.params)
-    logger.info("stage-1 held-out accuracy at random init: %.4f", s1_base)
-    t0 = time.time()
-    if args.stage1_steps > 0:
-        state1 = trainer1.fit(state1)
-    s1_wall = time.time() - t0
-    s1_final = trainer1.evaluate(state1.params)
-    logger.info("stage-1 done: best %.4f final %.4f (%.0fs)",
-                trainer1.best_acc, s1_final, s1_wall)
-    params1 = jax.tree.map(np.asarray, state1.params)
-    if trainer1.ckpt is not None and trainer1.ckpt.latest_step() is not None:
-        trainer1.ckpt.wait()
-        params1 = trainer1.ckpt.restore_params(best=True)
-        logger.info("stage-1: restored best checkpoint (step %s) for export",
-                    trainer1.ckpt.best_step() or trainer1.ckpt.latest_step())
+            train_ds1 = MixedDataset(train_parts)
+            val_ds1 = MixedDataset(val_parts)
+        if len(train_ds1) and len(train_ds1) < args.stage1_batch:
+            args.stage1_batch = len(train_ds1)
+        val_dl1 = DataLoader(val_ds1, args.eval_batch)
+        logger.info("stage-1 data: %s (%s) -> %d train / %d held-out",
+                    s1_task, s1_jsonl, len(train_ds1), len(val_ds1))
+    else:
+        train_ds1, val_dl1 = train_ds, val_dl
 
-    # ---- export through the reference's checkpoint layout
-    sd = export_chunkalign_cls_state_dict(params1, enc_cfg)
-    np.savez(os.path.join(args.out, "chunkalign_cls_state_dict.npz"), **sd)
-    logger.info("stage-1 export: %d keys -> %s", len(sd),
-                os.path.join(args.out, "chunkalign_cls_state_dict.npz"))
+    # ================= stage 1: ChunkAlign pretrain =================
+    if args.stage1_npz:
+        # graft from an existing stage-1 export instead of pretraining —
+        # the reference's own deployment shape (it loads a checkpoint it
+        # did not train, run_PMR_ModCR.py:555)
+        with np.load(args.stage1_npz) as z:
+            sd = {k: z[k] for k in z.files}
+        logger.info("stage-1 skipped: %d keys loaded from %s",
+                    len(sd), args.stage1_npz)
+        trainer1 = None
+        s1_base = s1_final = None
+        s1_wall = 0.0
+    else:
+        enc1_cfg = enc_cfg
+        if args.stage1_dropout is not None:
+            enc1_cfg = dataclasses.replace(
+                enc_cfg, hidden_dropout_prob=args.stage1_dropout,
+                attention_probs_dropout_prob=args.stage1_dropout,
+            )
+        if args.stage1_compute is not None:
+            # dtype lives on the MODULE config (EncoderConfig.dtype ->
+            # c.jnp_dtype inside every Dense/attention);
+            # TrainConfig.compute_dtype is descriptive only. Without this
+            # replace the flag is a no-op — observed as bit-identical
+            # bf16/fp32 probe traces.
+            enc1_cfg = dataclasses.replace(enc1_cfg,
+                                           dtype=args.stage1_compute)
+        model1 = ChunkAlignClassifier(
+            enc1_cfg, cfg2.chunkalign, num_labels=cfg2.num_labels,
+            max_chunks=cfg2.max_chunks, align_weight=args.align_weight,
+        )
+        tcfg1 = TrainConfig(
+            learning_rate=args.lr1, warmup_steps=args.warmup,
+            max_steps=args.stage1_steps, num_train_epochs=10_000,
+            per_device_batch_size=args.stage1_batch,
+            valid_steps=args.stage1_valid_steps or args.valid_steps,
+            epoch_begin=1, seed=args.seed,
+            freeze_encoders=False,  # the point of stage 1 (v10: no no_grad)
+            seq_enc_lr_scale=args.seq_lr_scale,
+            compute_dtype=args.stage1_compute
+            or ("float32" if args.tiny else "bfloat16"),
+        )
+        train_dl1 = DataLoader(train_ds1, args.stage1_batch, shuffle=True,
+                               seed=args.seed, drop_last=True)
+        # best-acc Orbax checkpointing so the surgery grafts the BEST
+        # stage-1 towers, not wherever the loop happened to stop (fit
+        # returns final).  params_only: these checkpoints exist solely for
+        # the export below — skipping the AdamW moments cuts each blocking
+        # save ~3x (2.7 GB -> ~0.9 GB of D2H through the tunnel)
+        trainer1 = Trainer(model1, tcfg1, train_dl1, val_dl1, logger=logger,
+                           checkpoint_dir=os.path.join(args.out,
+                                                       "stage1_ckpt"),
+                           checkpoint_params_only=True)
 
-    # free stage-1 HBM before stage 2: params + AdamW state are ~2.6 GB on a
-    # 16 GB v5e, and the composite's batch-32 step needs that headroom
-    # (measured: keeping them resident OOMs stage-2 fit)
-    import gc
+        t0 = time.time()
+        state1 = trainer1.init_state()
+        logger.info("stage-1 init done in %.1fs on %s", time.time() - t0,
+                    jax.devices()[0].platform)
+        s1_base = trainer1.evaluate(state1.params)
+        logger.info("stage-1 held-out accuracy at random init: %.4f",
+                    s1_base)
+        t0 = time.time()
+        if args.stage1_steps > 0:
+            state1 = trainer1.fit(state1)
+        s1_wall = time.time() - t0
+        s1_final = trainer1.evaluate(state1.params)
+        logger.info("stage-1 done: best %.4f final %.4f (%.0fs)",
+                    trainer1.best_acc, s1_final, s1_wall)
+        params1 = jax.tree.map(np.asarray, state1.params)
+        if (trainer1.ckpt is not None
+                and trainer1.ckpt.latest_step() is not None):
+            trainer1.ckpt.wait()
+            params1 = trainer1.ckpt.restore_params(best=True)
+            logger.info("stage-1: restored best checkpoint (step %s) for "
+                        "export",
+                        trainer1.ckpt.best_step()
+                        or trainer1.ckpt.latest_step())
 
-    state1 = None
-    del params1
-    gc.collect()
+        # ---- export through the reference's checkpoint layout
+        sd = export_chunkalign_cls_state_dict(params1, enc_cfg)
+        np.savez(os.path.join(args.out, "chunkalign_cls_state_dict.npz"),
+                 **sd)
+        logger.info("stage-1 export: %d keys -> %s", len(sd),
+                    os.path.join(args.out, "chunkalign_cls_state_dict.npz"))
+
+        # free stage-1 HBM before stage 2: params + AdamW state are
+        # ~2.6 GB on a 16 GB v5e, and the composite's batch-32 step needs
+        # that headroom (measured: keeping them resident OOMs stage-2 fit)
+        import gc
+
+        state1 = None
+        del params1
+        gc.collect()
 
     # ================= stage 2: surgery + prefix-tune =================
     model2 = ModCRModel(cfg2)
@@ -352,6 +467,19 @@ def main(argv=None):
     s2_wall = time.time() - t0
     s2_final = trainer2.evaluate(state2.params)
 
+    if args.stage1_npz:
+        stage1_curve = {"npz": args.stage1_npz, "keys": len(sd)}
+    else:
+        stage1_curve = {
+            "steps": args.stage1_steps, "baseline_acc": s1_base,
+            "best_acc": trainer1.best_acc, "final_acc": s1_final,
+            "wall_seconds": round(s1_wall, 1),
+            "history": trainer1.history,
+        }
+        if s1_cross:
+            stage1_curve["task"] = s1_task
+            stage1_curve["data"] = ",".join(
+                os.path.basename(x) for x in s1_jsonl.split(","))
     curve = {
         "task": args.task,
         "data": ",".join(os.path.basename(x) for x in args.jsonl.split(",")),
@@ -360,12 +488,7 @@ def main(argv=None):
         "lr1": args.lr1, "lr2": args.lr2,
         "align_weight": args.align_weight, "seed": args.seed,
         "tiny": args.tiny,
-        "stage1": {
-            "steps": args.stage1_steps, "baseline_acc": s1_base,
-            "best_acc": trainer1.best_acc, "final_acc": s1_final,
-            "wall_seconds": round(s1_wall, 1),
-            "history": trainer1.history,
-        },
+        "stage1": stage1_curve,
         "stage2": {
             "steps": args.stage2_steps, "post_surgery_acc": s2_base,
             "best_acc": trainer2.best_acc, "final_acc": s2_final,
@@ -378,7 +501,8 @@ def main(argv=None):
         json.dump(curve, f, indent=1)
     logger.info("wrote %s", path)
     print(json.dumps({
-        "stage1_best_acc": round(trainer1.best_acc, 4),
+        "stage1_best_acc": (round(trainer1.best_acc, 4)
+                            if trainer1 is not None else None),
         "post_surgery_acc": round(s2_base, 4),
         "stage2_best_acc": round(trainer2.best_acc, 4),
         "stage2_final_acc": round(s2_final, 4),

@@ -61,3 +61,46 @@ def test_two_stage_driver_end_to_end(tmp_path):
     assert any(k.startswith("global_enc.") for k in keys)
     assert "classifier.weight" in keys and "cls_ensemble.weight" in keys
     assert "cls_layer.0.cls_q_proj.weight" in keys
+
+
+def test_cross_task_stage1_and_npz_reuse(tmp_path):
+    """Cross-task stage-1 (the reference's own shape: its grafted ChunkAlign
+    checkpoint was pretrained on OTHER data, run_PMR_ModCR.py:555) and
+    --stage1_npz (graft a previous run's export without retraining).
+
+    The npz-reuse run grafts the cross run's export on identical stage-2
+    data/seed, so its post-surgery accuracy must REPRODUCE the cross run's —
+    pinning that the export→reload→surgery path is lossless.
+    """
+    if not os.path.exists("/root/reference/vcr_data/vcr_val.json"):
+        pytest.skip("reference vcr_data not mounted")
+    sys.path.insert(0, "/root/repo")
+    from scripts.train_two_stage import main
+
+    common = [
+        "--tiny", "--batch", "4", "--limit", "40", "--valid_steps", "4",
+        "--warmup", "2", "--task", "vcr",
+        "--jsonl", "/root/reference/vcr_data/vcr_val.json",
+    ]
+    cross = main(common + [
+        "--stage1_steps", "4", "--stage2_steps", "4", "--stage1_batch", "4",
+        "--stage1_task", "pmr",
+        "--stage1_jsonl", "/root/reference/pmr_data/val-ori.jsonl",
+        "--stage1_valid_steps", "2",
+        "--out", str(tmp_path / "cross"),
+    ])
+    # stage-1 trained on PMR, stage-2 on VCR — curve records both
+    assert cross["task"] == "vcr"
+    assert cross["stage1"]["task"] == "pmr"
+    assert cross["stage1"]["data"] == "val-ori.jsonl"
+    npz = tmp_path / "cross" / "chunkalign_cls_state_dict.npz"
+    assert npz.exists()
+
+    reuse = main(common + [
+        "--stage1_steps", "0", "--stage2_steps", "4",
+        "--stage1_npz", str(npz),
+        "--out", str(tmp_path / "reuse"),
+    ])
+    assert reuse["stage1"] == {"npz": str(npz), "keys": len(np.load(npz))}
+    assert reuse["stage2"]["post_surgery_acc"] == pytest.approx(
+        cross["stage2"]["post_surgery_acc"])
