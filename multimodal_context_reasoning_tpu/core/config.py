@@ -60,6 +60,14 @@ class EncoderConfig:
     # Param tree is unchanged (weights stay fp32; quantization happens in
     # the jitted graph).
     quantize: str = "none"
+    # Flash-style recompute-in-backward attention (ops/flash.py): the
+    # [B, H, Lq, Lk] fp32 softmax temporaries are never saved as training
+    # residuals — they are recomputed one layer at a time in the backward.
+    # Forward numerics are bit-identical to the einsum path (same rng
+    # draw for dropout). This is the single-chip batch-size lever: the
+    # batch-48 OOM's largest allocations were exactly these temporaries
+    # across the 24 reasoner layers (BENCHMARKS.md "Batch-size headroom").
+    mem_efficient_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -132,6 +140,8 @@ class RobertaConfig:
     dtype: str = "float32"
     use_pallas: bool = False  # see EncoderConfig.use_pallas
     quantize: str = "none"    # see EncoderConfig.quantize
+    mem_efficient_attention: bool = False  # see EncoderConfig; this is the
+    # trainable tower, so it is where the flash backward buys batch size.
     # jax.checkpoint each layer in the backward pass (trades ~30% more
     # FLOPs for O(1) activation memory across the 24-layer tower).
     remat: bool = False

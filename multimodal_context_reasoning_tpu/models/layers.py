@@ -159,6 +159,24 @@ class SelfAttention(nn.Module):
 
             out = fused(q, k, v, bias)
             probs = None
+        elif c.mem_efficient_attention and not return_probs:
+            # Flash-style recompute-in-backward (ops/flash.py): identical
+            # forward numerics (same einsum/softmax/bernoulli sequence and
+            # rng draw), but the [B, H, Lq, Lk] fp32 temporaries are not
+            # training residuals — they are recomputed per layer in the
+            # backward. Unlocks batch ≥48 on a 16 GB v5e.
+            from multimodal_context_reasoning_tpu.ops.flash import (
+                mem_efficient_attention,
+            )
+
+            rng = self.make_rng("dropout") if needs_dropout else None
+            out = mem_efficient_attention(
+                q, k, v, bias,
+                dropout_rate=c.attention_probs_dropout_prob,
+                dropout_rng=rng,
+                deterministic=deterministic,
+            )
+            probs = None
         else:
             rng = self.make_rng("dropout") if needs_dropout else None
             out, probs = dot_product_attention(

@@ -70,6 +70,7 @@ class PrefixRoberta(nn.Module):
             dtype=c.dtype,
             use_pallas=c.use_pallas,
             quantize=c.quantize,
+            mem_efficient_attention=c.mem_efficient_attention,
         )
 
     @nn.compact

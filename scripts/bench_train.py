@@ -76,6 +76,18 @@ def build(name: str, task: str, batch: int):
                 cfg.roberta, remat=True, remat_policy="dots"
             ),
         )
+    elif name == "flash":
+        # memory lever: remat "dots" + recompute-in-backward attention in
+        # the 24-layer trainable reasoner (ops/flash.py) — the fp32
+        # [rows, H, L, L] softmax temporaries named by the batch-48 OOM
+        # are never saved as residuals, so batch ≥48 fits 16 GB
+        cfg = dataclasses.replace(
+            cfg,
+            roberta=dataclasses.replace(
+                cfg.roberta, remat=True, remat_policy="dots",
+                mem_efficient_attention=True,
+            ),
+        )
     elif name == "int8frozen":
         # lever (a): int8 matmuls in the FROZEN towers' forward only
         # (stop_gradient means round()'s zero gradient never matters);
