@@ -144,6 +144,7 @@ def fsm_beam_search(
     max_steps: int,
     eos_ids: Sequence[int],
     pad_id: Optional[int] = None,
+    implementation: str = "scan",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (beams [B, S, K, max_steps], log_probs [B, S, K]).
 
@@ -154,6 +155,14 @@ def fsm_beam_search(
     EOS (log_probs_after_end, :153-156), which also reproduces the
     reference's early-break-then-pad behavior without leaving the traced
     program.
+
+    ``implementation="scan"`` (default) traces the shape-invariant timestep
+    body ONCE under ``lax.scan`` with all S target-state selections batched
+    into a single ``top_k`` — trace/compile cost is O(1) in ``max_steps``
+    instead of O(max_steps × S) unrolled lattice blocks (the before/after
+    compile table lives in BENCHMARKS.md).  ``implementation="unrolled"``
+    is the straight-line Python loop over the same body, kept for the
+    token-identity test (tests/test_fsm.py).
     """
     B, S, _, V = adjacency.shape
     K = num_beams
@@ -163,8 +172,11 @@ def fsm_beam_search(
     n_steps = max_steps - 1
 
     adjacency = adjacency.astype(bool)
-    after_end = jnp.full((V,), -jnp.inf, jnp.float32).at[
-        jnp.asarray(eos_ids)].set(0.0)
+    eos_arr = jnp.asarray(eos_ids)
+    after_end = jnp.full((V,), -jnp.inf, jnp.float32).at[eos_arr].set(0.0)
+    # [B, S_to, S_from, V] — the lattice viewed from the target state, so
+    # one reshaped top_k serves all S states at once
+    adj_t = adjacency.transpose(0, 2, 1, 3)
 
     # ---- first step: from state 0 only (cbs.py:134-151)
     seqs = jnp.full((B, S, K, n_steps), pad_tok, jnp.int32)
@@ -173,41 +185,48 @@ def fsm_beam_search(
     last_logp, tok0 = jax.lax.top_k(start, K)                  # [B, S, K]
     seqs = seqs.at[:, :, :, 0].set(tok0)
 
-    for t in range(1, n_steps):
-        last_tok = seqs[:, :, :, t - 1].reshape(N)
+    def advance(state, t):
+        seqs, last_logp, carry = state
+        last_tok = jax.lax.dynamic_index_in_dim(
+            seqs, t - 1, axis=3, keepdims=False).reshape(N)
         logp, carry = step_fn(last_tok, carry, t)
         logp = logp.astype(jnp.float32)
-        finished = jnp.isin(last_tok, jnp.asarray(eos_ids))
+        finished = jnp.isin(last_tok, eos_arr)
         cleaned = jnp.where(finished[:, None], after_end[None, :], logp)
         cleaned = cleaned.reshape(B, S, K, V)
 
-        new_tok = []
-        new_lp = []
-        backptr = []
-        for i in range(S):
-            # mask BEFORE adding running scores (cbs.py:221-225)
-            masked = jnp.where(adjacency[:, :, i, :][:, :, None, :],
-                               cleaned, NEG)
-            scores = masked + last_logp[..., None]              # [B, S, K, V]
-            flat = scores.reshape(B, S * K * V)
-            lp_i, idx_i = jax.lax.top_k(flat, K)                # [B, K]
-            new_tok.append(idx_i % V)
-            backptr.append(idx_i // V)                          # flat (s*K+k)
-            new_lp.append(lp_i)
-        new_tok = jnp.stack(new_tok, axis=1)                    # [B, S, K]
-        backptr = jnp.stack(backptr, axis=1)
-        last_logp = jnp.stack(new_lp, axis=1)
+        # mask BEFORE adding running scores (cbs.py:221-225), for all S
+        # target states in one [B, S_to, S_from, K, V] tensor
+        masked = jnp.where(adj_t[:, :, :, None, :], cleaned[:, None], NEG)
+        scores = masked + last_logp[:, None, :, :, None]
+        flat = scores.reshape(B, S, S * K * V)
+        last_logp, idx = jax.lax.top_k(flat, K)                # [B, S, K]
+        new_tok = idx % V
+        backptr = idx // V                                     # flat (s*K+k)
 
         # reorder sequences by backpointer, append the new token
         flat_seqs = seqs.reshape(B, S * K, n_steps)
         seqs = jnp.take_along_axis(
             flat_seqs, backptr.reshape(B, S * K)[..., None], axis=1
         ).reshape(B, S, K, n_steps)
-        seqs = seqs.at[:, :, :, t].set(new_tok)
+        seqs = jax.lax.dynamic_update_slice_in_dim(
+            seqs, new_tok[..., None], t, axis=3)
         # reorder the caller's decode carry (KV cache) by global row ids
         rows = (jnp.arange(B)[:, None] * (S * K)
                 + backptr.reshape(B, S * K)).reshape(N)
         carry = reorder_fn(carry, rows)
+        return (seqs, last_logp, carry), None
+
+    state = (seqs, last_logp, carry)
+    if implementation == "scan":
+        state, _ = jax.lax.scan(
+            advance, state, jnp.arange(1, n_steps, dtype=jnp.int32))
+    elif implementation == "unrolled":
+        for t in range(1, n_steps):
+            state, _ = advance(state, t)
+    else:
+        raise ValueError(f"unknown implementation: {implementation}")
+    seqs, last_logp, carry = state
 
     beams = jnp.concatenate(
         [seqs, jnp.full((B, S, K, max_steps - n_steps), eos_ids[0],

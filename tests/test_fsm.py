@@ -130,7 +130,8 @@ class TestSearchOracle:
         init_logp = np.log(rng.dirichlet(np.ones(V), size=(B,)))
 
         def step_fn(tok, carry, t):
-            return jnp.asarray(table[t], jnp.float32)[tok], carry
+            # t may be traced (scan implementation): index a device table
+            return jnp.asarray(table, jnp.float32)[t][tok], carry
 
         got_beams, got_lp = fsm_beam_search(
             jnp.asarray(init_logp, jnp.float32), step_fn, carry=None,
@@ -162,7 +163,8 @@ class TestSearchOracle:
         init_logp = np.log(rng.dirichlet(np.ones(V), size=(B,)))
 
         def step_fn(tok, carry, t):
-            return jnp.asarray(table[t], jnp.float32)[tok], carry
+            # t may be traced (scan implementation): index a device table
+            return jnp.asarray(table, jnp.float32)[t][tok], carry
 
         beams, lp = fsm_beam_search(
             jnp.asarray(init_logp, jnp.float32), step_fn, None,
@@ -322,3 +324,50 @@ class TestGenerateCbsDispatch:
         params = model.init(jax.random.PRNGKey(0), prompt)
         with _pytest.raises(ValueError, match="fsm_adjacency"):
             generate(model, params, prompt, jnp.asarray([3]), mode="cbs")
+
+
+class TestScanUnrolledIdentity:
+    """The lax.scan implementation must be token-identical to the
+    straight-line unrolled loop (same body, same tie-breaking)."""
+
+    def _run(self, implementation):
+        B, K, max_steps = 2, 5, 12
+        rng = np.random.default_rng(7)
+        b = FiniteStateMachineBuilder(V, max_given_constraints=3,
+                                      max_words_per_constraint=2)
+        fsms = [
+            b.build([[[5, 6]], [[7]], [[3], [4]]]),   # S = 8 main states
+            b.build([[[9]], [[2], [8]]]),
+        ]
+        adjacency = np.stack([f.adjacency for f in fsms])
+        table = np.log(rng.dirichlet(np.ones(V), size=(max_steps, V)))
+        init_logp = np.log(rng.dirichlet(np.ones(V), size=(B,)))
+        S = adjacency.shape[1]
+        N = B * S * K
+
+        def step_fn(tok, carry, t):
+            # carry: a per-row tag that reorder_fn must track correctly
+            return jnp.asarray(table, jnp.float32)[t][tok], carry + 1
+
+        def reorder_fn(carry, rows):
+            return carry[rows]
+
+        carry0 = jnp.arange(N, dtype=jnp.int32) * 100
+        beams, lp = fsm_beam_search(
+            jnp.asarray(init_logp, jnp.float32), step_fn, carry0,
+            reorder_fn, jnp.asarray(adjacency),
+            num_beams=K, max_steps=max_steps, eos_ids=(EOS,),
+            implementation=implementation,
+        )
+        return np.asarray(beams), np.asarray(lp)
+
+    def test_token_identical(self):
+        b_scan, lp_scan = self._run("scan")
+        b_unroll, lp_unroll = self._run("unrolled")
+        np.testing.assert_array_equal(b_scan, b_unroll)
+        np.testing.assert_allclose(lp_scan, lp_unroll, rtol=0, atol=0)
+
+    def test_unknown_implementation_raises(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            self._run("nope")
