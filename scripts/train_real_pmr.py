@@ -85,6 +85,14 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=0,
                    help="cap total examples (CPU smoke)")
+    p.add_argument("--tokenizer", choices=["corpus", "hash"],
+                   default="corpus",
+                   help="'corpus' (default): train a real WordPiece vocab "
+                        "on the train split (data/subword.py) — distinct "
+                        "words get distinct ids; 'hash': the legacy md5 "
+                        "bucket fallback (collisions alias words)")
+    p.add_argument("--vocab_budget", type=int, default=8192,
+                   help="corpus tokenizer vocab size (before det tokens)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (CPU smoke)")
     p.add_argument("--midsize", action="store_true",
@@ -213,8 +221,36 @@ def main(argv=None):
         {ex.img_id for ex in examples}, cfg.global_encoder.img_feature_dim,
         max_regions=min(cfg.img_len, 20),
     )
-    bert = HashTokenizer(vocab_size=cfg.global_encoder.vocab_size)
-    rob = RobertaHashTokenizer(vocab_size=cfg.roberta.vocab_size)
+    if args.tokenizer == "corpus":
+        # real subword ids trained on the train split — the hash fallback's
+        # md5 collisions alias distinct words into one embedding row
+        from multimodal_context_reasoning_tpu.data.subword import (
+            corpus_wordpiece_tokenizer,
+        )
+
+        from multimodal_context_reasoning_tpu.data.tokenization import (
+            NUM_DET_TOKENS,
+        )
+
+        corpus = [ex.premise for ex in train_ex] + [
+            a for ex in train_ex for a in ex.answer_choices
+        ]
+        t0 = time.time()
+        bert = corpus_wordpiece_tokenizer(
+            corpus, vocab_size=min(
+                args.vocab_budget,
+                cfg.global_encoder.vocab_size - NUM_DET_TOKENS))
+        rob = corpus_wordpiece_tokenizer(
+            corpus, vocab_size=min(
+                args.vocab_budget, cfg.roberta.vocab_size - NUM_DET_TOKENS),
+            style="roberta")
+        logger.info("corpus WordPiece trained: %d/%d ids (bert/roberta), "
+                    "%.1f s", len(bert), len(rob), time.time() - t0)
+        assert len(bert) <= cfg.global_encoder.vocab_size
+        assert len(rob) <= cfg.roberta.vocab_size
+    else:
+        bert = HashTokenizer(vocab_size=cfg.global_encoder.vocab_size)
+        rob = RobertaHashTokenizer(vocab_size=cfg.roberta.vocab_size)
     spec = BatchSpec(
         text_len=cfg.text_len, img_len=cfg.img_len,
         roberta_len=cfg.roberta_len, num_labels=cfg.num_labels,

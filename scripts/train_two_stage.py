@@ -97,6 +97,12 @@ def main(argv=None):
                         " coarser cadence keeps eval overhead bounded")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--tokenizer", choices=["corpus", "hash"],
+                   default="corpus",
+                   help="'corpus': train a real WordPiece vocab on the "
+                        "task text (data/subword.py); 'hash': legacy md5 "
+                        "buckets (collisions alias words)")
+    p.add_argument("--vocab_budget", type=int, default=8192)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--dropout", type=float, default=0.1,
                    help="uniform dropout (see train_real_pmr.py for the "
@@ -224,8 +230,42 @@ def main(argv=None):
         {ex.img_id for ex in examples}, enc_cfg.img_feature_dim,
         max_regions=min(cfg2.img_len, 20),
     )
-    bert = HashTokenizer(vocab_size=enc_cfg.vocab_size)
-    rob_tok = RobertaHashTokenizer(vocab_size=cfg2.roberta.vocab_size)
+    if args.tokenizer == "corpus":
+        # real subword ids (data/subword.py) instead of md5 buckets; the
+        # vocab is trained on the stage-2 train split plus any cross-task
+        # stage-1 text so both stages share one collision-free id space
+        from multimodal_context_reasoning_tpu.data.subword import (
+            corpus_wordpiece_tokenizer,
+        )
+        from multimodal_context_reasoning_tpu.data.tokenization import (
+            NUM_DET_TOKENS,
+        )
+
+        corpus_ex = list(train_ex)
+        if args.stage1_jsonl:
+            for e in args.stage1_jsonl.split(","):
+                head, _, rest = e.partition(":")
+                t = head if head in ("pmr", "vcr") and rest else (
+                    args.stage1_task or args.task)
+                path = rest if head in ("pmr", "vcr") and rest else e
+                load1 = load_vcr_json if t == "vcr" else load_pmr_jsonl
+                corpus_ex.extend(load1(path, limit=args.limit or None))
+        corpus = [ex.premise for ex in corpus_ex] + [
+            a for ex in corpus_ex for a in ex.answer_choices
+        ]
+        bert = corpus_wordpiece_tokenizer(
+            corpus, vocab_size=min(
+                args.vocab_budget, enc_cfg.vocab_size - NUM_DET_TOKENS))
+        rob_tok = corpus_wordpiece_tokenizer(
+            corpus, vocab_size=min(
+                args.vocab_budget,
+                cfg2.roberta.vocab_size - NUM_DET_TOKENS),
+            style="roberta")
+        logger.info("corpus WordPiece trained: %d/%d ids (bert/roberta)",
+                    len(bert), len(rob_tok))
+    else:
+        bert = HashTokenizer(vocab_size=enc_cfg.vocab_size)
+        rob_tok = RobertaHashTokenizer(vocab_size=cfg2.roberta.vocab_size)
     spec = BatchSpec(
         text_len=cfg2.text_len, img_len=cfg2.img_len,
         roberta_len=cfg2.roberta_len, num_labels=cfg2.num_labels,
