@@ -59,6 +59,14 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="pickle: {img-id: {'features': [N,2054], ...}}")
     p.add_argument("--bert_tokenizer_dir", type=str, default="")
     p.add_argument("--roberta_tokenizer_dir", type=str, default="")
+    # in-tree subword loaders (data/subword.py) — preferred over the HF
+    # dirs when given; the reference's exact file formats
+    p.add_argument("--bert_vocab_file", type=str, default="",
+                   help="WordPiece vocab.txt → in-tree WordPieceTokenizer")
+    p.add_argument("--roberta_vocab_file", type=str, default="",
+                   help="byte-BPE vocab.json → in-tree ByteBPETokenizer "
+                        "(requires --roberta_merges_file)")
+    p.add_argument("--roberta_merges_file", type=str, default="")
     # reference-checkpoint import (interop/assemble.py; any may be omitted)
     p.add_argument("--oscar_ckpt", type=str, default="",
                    help="Oscar-base BertImgModel torch weights (.bin/.pth)")
@@ -66,8 +74,11 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="ChunkAlign pretrain dict (seq_enc.-prefixed)")
     p.add_argument("--roberta_ckpt", type=str, default="",
                    help="roberta-large torch weights")
-    p.add_argument("--modcr_ckpt", type=str, default="",
-                   help="reference ModCR checkpoint ({'net': ...} form)")
+    p.add_argument("--modcr_ckpt", "--reference_ckpt", type=str, default="",
+                   help="reference ModCR checkpoint ({'net': ...} form, the "
+                        "published best.pth layout, run_PMR_ModCR.py:802-806;"
+                        " --reference_ckpt is an alias). One command gets "
+                        "from a reference checkpoint to --do_test numbers.")
     p.add_argument("--cold_start", action="store_true",
                    help="stage-1 surgery: drop mapping-network/classifier "
                         "keys of --modcr_ckpt (run_PMR_ModCR.py:819-832)")
@@ -206,20 +217,47 @@ def configs_from_args(args) -> tuple[ModCRConfig, TrainConfig]:
 
 
 def load_tokenizers(args, cfg: ModCRConfig):
-    """HF tokenizers from local dirs when given, hermetic hash fallback
-    otherwise (no hub access is ever attempted)."""
-    if args.bert_tokenizer_dir:
+    """Tokenizer priority per tower: in-tree subword loaders from vocab
+    files (data/subword.py, the reference's exact file formats) > HF
+    tokenizer dirs > hermetic hash fallback (no hub access is ever
+    attempted)."""
+    if getattr(args, "bert_vocab_file", ""):
+        from multimodal_context_reasoning_tpu.data.subword import (
+            WordPieceTokenizer,
+        )
+
+        bert = WordPieceTokenizer.from_vocab_file(args.bert_vocab_file)
+    elif args.bert_tokenizer_dir:
         from transformers import AutoTokenizer
 
         bert = HFTokenizer(AutoTokenizer.from_pretrained(args.bert_tokenizer_dir))
     else:
         bert = HashTokenizer(vocab_size=cfg.global_encoder.vocab_size)
-    if args.roberta_tokenizer_dir:
+    if getattr(args, "roberta_vocab_file", ""):
+        from multimodal_context_reasoning_tpu.data.subword import (
+            ByteBPETokenizer,
+        )
+
+        if not args.roberta_merges_file:
+            raise ValueError("--roberta_vocab_file requires --roberta_merges_file")
+        rob = ByteBPETokenizer.from_files(
+            args.roberta_vocab_file, args.roberta_merges_file)
+    elif args.roberta_tokenizer_dir:
         from transformers import AutoTokenizer
 
         rob = HFTokenizer(AutoTokenizer.from_pretrained(args.roberta_tokenizer_dir))
     else:
         rob = RobertaHashTokenizer(vocab_size=cfg.roberta.vocab_size)
+    for tok, limit, tower in (
+        (bert, cfg.global_encoder.vocab_size, "bert"),
+        (rob, cfg.roberta.vocab_size, "roberta"),
+    ):
+        n = len(tok)
+        if n > limit:
+            # ids ≥ vocab_size are the silent-NaN trap (nn.Embed fill mode)
+            raise ValueError(
+                f"{tower} tokenizer emits {n} ids but the model vocab is "
+                f"{limit}; grow the config vocab or shrink the vocab file")
     return bert, rob
 
 

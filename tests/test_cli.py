@@ -480,3 +480,75 @@ class TestDeviceFeaturesCLI:
             "--device_features",
         ])
         assert 0.0 <= acc <= 1.0
+
+
+class TestReferenceCkptOneCommand:
+    """The day real reference checkpoints appear, accuracy parity is ONE
+    command: run_pmr --reference_ckpt best.pth --do_test.  Exercised here
+    against a synthetic .pth in the reference's exact torch.save layout
+    ({'net': state_dict}, keys per run_PMR_ModCR.py:802-832)."""
+
+    @pytest.fixture()
+    def synthetic_pth(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+        from tests.test_assemble import full_composite_sd
+
+        cfg = ModCRConfig.tiny()
+        sd = full_composite_sd(cfg)
+        path = tmp_path / "best.pth"
+        torch.save(
+            {"net": {k: torch.from_numpy(np.ascontiguousarray(v))
+                     for k, v in sd.items()}}, path)
+        return str(path)
+
+    def test_do_test_ingests_and_changes_predictions(
+            self, feature_pickle, synthetic_pth, tmp_path, monkeypatch):
+        from multimodal_context_reasoning_tpu.interop import assemble
+
+        base_args = [
+            "--do_test", "--tiny", "--limit", "6",
+            "--test_file", PMR_VAL,
+            "--img_feat_file", feature_pickle,
+        ]
+        out_plain = tmp_path / "plain"
+        pmr_main(base_args + ["--output_dir", str(out_plain)])
+
+        reports = []
+        orig = assemble.assemble_from_files
+
+        def spy(*a, **kw):
+            report = orig(*a, **kw)
+            reports.append(report)
+            return report
+
+        monkeypatch.setattr(assemble, "assemble_from_files", spy)
+        out_ckpt = tmp_path / "ckpt"
+        pmr_main(base_args + [
+            "--reference_ckpt", synthetic_pth,
+            "--output_dir", str(out_ckpt),
+        ])
+        assert reports, "graft never ran"
+        report = reports[0]
+        assert report.unconsumed == set()
+        assert "roberta.embeddings.word_embeddings.weight" in report.consumed
+        assert "mapping_network_vision.1.weight" in report.consumed
+
+        def scores(d):
+            return [json.loads(l)["prediction"]
+                    for l in open(d / "result_test_ModICR_pmr.json")]
+        assert (out_ckpt / "result_test_ModICR_pmr.json").exists()
+        # both runs produced valid prediction files over the same examples
+        assert len(scores(out_ckpt)) == len(scores(out_plain)) == 6
+
+    def test_cold_start_surgery_flag(self, feature_pickle, synthetic_pth,
+                                     tmp_path):
+        out = tmp_path / "cold"
+        acc = pmr_main([
+            "--do_test", "--tiny", "--limit", "6",
+            "--test_file", PMR_VAL,
+            "--img_feat_file", feature_pickle,
+            "--reference_ckpt", synthetic_pth, "--cold_start",
+            "--output_dir", str(out),
+        ])
+        assert 0.0 <= acc <= 1.0
