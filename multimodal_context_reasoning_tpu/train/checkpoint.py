@@ -44,11 +44,15 @@ class CheckpointManager:
         self.params_only = params_only
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # best_mode must be omitted entirely when not keeping best — this
+        # orbax rejects an explicit None (CheckpointManagerOptions
+        # validates it unconditionally)
+        best_kw = (
+            {"best_fn": lambda m: m.get("accuracy", 0.0), "best_mode": "max"}
+            if keep_best else {}
+        )
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep,
-            best_fn=(lambda m: m.get("accuracy", 0.0)) if keep_best else None,
-            best_mode="max" if keep_best else None,
-            create=True,
+            max_to_keep=max_to_keep, create=True, **best_kw,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
@@ -84,6 +88,28 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         template = {"params": state.params, "opt_state": state.opt_state,
                     "step": state.step}
+        # Cross-topology resume: restore onto the TEMPLATE's layout, not
+        # the save-time one.  Scalar leaves the state built eagerly (step,
+        # accumulation counters) carry an uncommitted single-device
+        # sharding; restoring them as committed device-0 arrays while
+        # params land on a mesh makes the next jitted step reject the
+        # mixed placement — normalize scalars to mesh-replicated.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        meshes = {
+            leaf.sharding.mesh
+            for leaf in jax.tree.leaves(template)
+            if isinstance(getattr(leaf, "sharding", None), NamedSharding)
+        }
+        mesh = next(iter(meshes)) if len(meshes) == 1 else None
+
+        def as_abstract(leaf):
+            sh = getattr(leaf, "sharding", None)
+            if mesh is not None and not isinstance(sh, NamedSharding):
+                sh = NamedSharding(mesh, PartitionSpec())
+            return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=sh)
+
+        template = jax.tree.map(as_abstract, template)
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(template)
         )

@@ -68,14 +68,8 @@ def _metrics(out, batch: Batch) -> Dict[str, jnp.ndarray]:
     }
 
 
-def make_train_step(
-    model,
-    *,
-    mesh: Optional[Mesh] = None,
-    donate: bool = True,
-) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict]]:
-    """Build the jitted train step; with a mesh, in/out shardings pin the
-    batch to ``data`` and params to the TP rules so XLA compiles the psum."""
+def _build_step(model):
+    """The raw (unjitted) train-step body shared by the jit and AOT paths."""
 
     def step(state: TrainState, batch: Batch, rng: jax.Array):
         inputs = _model_inputs(batch)
@@ -92,6 +86,19 @@ def make_train_step(
         metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
 
+    return step
+
+
+def make_train_step(
+    model,
+    *,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict]]:
+    """Build the jitted train step; with a mesh, in/out shardings pin the
+    batch to ``data`` and params to the TP rules so XLA compiles the psum."""
+    step = _build_step(model)
+
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -104,6 +111,33 @@ def make_train_step(
         )(state, batch, rng)
 
     return jitted
+
+
+def lower_train_step(
+    model,
+    mesh: Mesh,
+    state_shapes,
+    batch_shapes: Batch,
+    *,
+    donate: bool = True,
+):
+    """AOT-lower the sharded train step on abstract (ShapeDtypeStruct)
+    arguments whose ``sharding`` attributes pin the mesh layout.
+
+    Nothing is materialized — this is how full-size memory-fit evidence is
+    produced on a virtual mesh (``compiled.memory_analysis()`` per-device
+    peaks; scripts/bench_multichip_fit.py) without allocating the ~7 GB
+    parameter + optimizer trees on the host.
+    """
+    step = _build_step(model)
+    b_sh = batch_shardings(batch_shapes, mesh)
+    # legacy uint32[2] key — what the Trainer/dryrun actually pass
+    rng = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=replicated(mesh))
+    return jax.jit(
+        step,
+        in_shardings=(None, b_sh, replicated(mesh)),
+        donate_argnums=(0,) if donate else (),
+    ).lower(state_shapes, batch_shapes, rng)
 
 
 def optax_global_norm(tree) -> jnp.ndarray:
