@@ -113,6 +113,18 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="with --remat: 'dots' keeps matmul outputs and "
                         "recomputes only elementwise work (faster); 'full' "
                         "recomputes everything (max memory saving)")
+    p.add_argument("--flash_attention", action="store_true",
+                   help="recompute-in-backward attention in the RoBERTa "
+                        "tower (ops/flash.py): the fp32 [rows,H,L,L] "
+                        "softmax temporaries are never saved as training "
+                        "residuals; forward numerics are bit-identical")
+    p.add_argument("--scan_layers", action="store_true",
+                   help="lax.scan over the 24 RoBERTa layers (stacked "
+                        "params, structurally sequential backward — the "
+                        "batch>=48 memory lever; see BENCHMARKS.md "
+                        "'Batch-size headroom'). Param layout changes to "
+                        "layers/layer/<leaf>; checkpoints convert via "
+                        "models/roberta.py stack_layer_params")
     p.add_argument("--quantize", type=str, default="none",
                    choices=["none", "int8"],
                    help="inference-only dynamic W8A8 int8 matmuls in all "
@@ -197,6 +209,13 @@ def configs_from_args(args) -> tuple[ModCRConfig, TrainConfig]:
                 remat_policy=getattr(args, "remat_policy", "dots"),
             )
         )
+    if getattr(args, "flash_attention", False):
+        cfg = dataclasses.replace(
+            cfg, roberta=dataclasses.replace(
+                cfg.roberta, mem_efficient_attention=True))
+    if getattr(args, "scan_layers", False):
+        cfg = dataclasses.replace(
+            cfg, roberta=dataclasses.replace(cfg.roberta, scan_layers=True))
     tcfg = TrainConfig(
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,

@@ -136,6 +136,20 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
         )
 
         params = _jax.tree_util.tree_map(_np.asarray, params)
+        # the graft addresses per-layer names; a scanned tower converts
+        # through the stacked<->per-layer adapters around it
+        scanned = cfg.roberta.scan_layers
+        if scanned:
+            from multimodal_context_reasoning_tpu.models.roberta import (
+                stack_layer_params,
+                unstack_layer_params,
+            )
+
+            nl = cfg.roberta.num_hidden_layers
+            params = dict(params)
+            params["params"] = dict(params["params"])
+            params["params"]["roberta"] = unstack_layer_params(
+                params["params"]["roberta"], nl)
         report = assemble_from_files(
             params, cfg,
             oscar_path=args.oscar_ckpt or None,
@@ -148,6 +162,9 @@ def main(argv=None, *, task=TASK, dataset_cls=None, load_fn=None):
                     args.cold_start, report.summary())
         for key, reason in sorted(report.skipped.items()):
             logger.debug("skipped %s: %s", key, reason)
+        if scanned:
+            params["params"]["roberta"] = stack_layer_params(
+                params["params"]["roberta"], nl)
         return params
 
     if args.do_train:

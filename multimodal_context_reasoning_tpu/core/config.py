@@ -142,6 +142,17 @@ class RobertaConfig:
     quantize: str = "none"    # see EncoderConfig.quantize
     mem_efficient_attention: bool = False  # see EncoderConfig; this is the
     # trainable tower, so it is where the flash backward buys batch size.
+    # lax.scan over the 24 layers (one stacked param tree, XLA while loop).
+    # The backward of a scan is structurally sequential, so at most ONE
+    # layer's rematerialized temporaries are live at a time — with a
+    # Python loop XLA hoists every layer's recompute (each depends only on
+    # forward-saved inputs) and batch 48 kept 24 x 216 MB of attention
+    # temporaries alive at once (measured: flash+loop still OOMed at
+    # 20.09/15.75 GB; see BENCHMARKS.md "Batch-size headroom, round 5").
+    # Also collapses trace/compile cost to O(1) in depth.  Param layout
+    # changes to layers/layer/<leaf> with a leading [num_layers] axis;
+    # models/roberta.py stack_layer_params/unstack_layer_params convert.
+    scan_layers: bool = False
     # jax.checkpoint each layer in the backward pass (trades ~30% more
     # FLOPs for O(1) activation memory across the 24-layer tower).
     remat: bool = False

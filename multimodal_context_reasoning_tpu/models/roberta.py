@@ -48,6 +48,47 @@ class RobertaOutput(NamedTuple):
     pooled: jnp.ndarray     # [B, H]
 
 
+class _ScanBlock(nn.Module):
+    """One scanned reasoner layer: carry = hidden states, everything else
+    broadcast.  Wrapped by ``nn.scan`` (and ``nn.remat`` inside the scan)
+    in PrefixRoberta — see RobertaConfig.scan_layers."""
+
+    config: EncoderConfig
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, h, bias, prefix_kv):
+        h, _ = TransformerLayer(self.config, name="layer")(
+            h, bias, prefix_kv=prefix_kv, deterministic=self.deterministic
+        )
+        return h, None
+
+
+def _remat_policy(c: RobertaConfig):
+    if c.remat_policy == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None
+
+
+def stack_layer_params(tower: dict, num_layers: int) -> dict:
+    """Convert a per-layer PrefixRoberta param subtree (``layer_0`` ..
+    ``layer_{N-1}``) to the scanned layout (``layers/layer/<leaf>`` with a
+    leading ``[N]`` stack axis).  Inverse: unstack_layer_params."""
+    out = {k: v for k, v in tower.items() if not k.startswith("layer_")}
+    per = [tower[f"layer_{i}"] for i in range(num_layers)]
+    out["layers"] = {"layer": jax.tree.map(lambda *xs: jnp.stack(xs), *per)}
+    return out
+
+
+def unstack_layer_params(tower: dict, num_layers: int) -> dict:
+    """Scanned (stacked) PrefixRoberta params back to per-layer naming."""
+    out = {k: v for k, v in tower.items() if k != "layers"}
+    stacked = tower["layers"]["layer"]
+    for i in range(num_layers):
+        out[f"layer_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return out
+
+
 class PrefixRoberta(nn.Module):
     config: RobertaConfig
 
@@ -100,7 +141,27 @@ class PrefixRoberta(nn.Module):
         else:
             bias = token_bias[:, None, None, :]
 
-        if c.remat:
+        if c.scan_layers:
+            # lax.scan over the depth axis: ONE traced layer body, an XLA
+            # while loop at runtime, and — the training-memory point — a
+            # structurally sequential backward: at most one layer's
+            # rematerialized temporaries are live at a time (a Python loop
+            # lets XLA hoist all 24 recomputes, which is exactly the
+            # measured batch-48 OOM).  Params stack to layers/layer/<leaf>.
+            block_cls = _ScanBlock
+            if c.remat:
+                block_cls = nn.remat(
+                    _ScanBlock, prevent_cse=False, policy=_remat_policy(c)
+                )
+            scanned = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=c.num_hidden_layers,
+                in_axes=(nn.broadcast, nn.broadcast),
+            )(ec, deterministic, name="layers")
+            h, _ = scanned(h, bias, prompt_embeddings)
+        elif c.remat:
             # Rematerialize each layer's activations in the backward pass —
             # this is the trainable tower (the encoders are frozen), so it
             # is where jax.checkpoint buys training memory for batch size.
@@ -109,12 +170,9 @@ class PrefixRoberta(nn.Module):
                     h, bias, prefix_kv=pkv, deterministic=deterministic
                 )[0]
 
-            policy = None
-            if c.remat_policy == "dots":
-                policy = (
-                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                )
-            run_layer = nn.remat(run_layer, prevent_cse=False, policy=policy)
+            run_layer = nn.remat(
+                run_layer, prevent_cse=False, policy=_remat_policy(c)
+            )
             for i in range(c.num_hidden_layers):
                 h = run_layer(
                     TransformerLayer(ec, name=f"layer_{i}"),

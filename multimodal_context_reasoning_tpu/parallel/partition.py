@@ -53,6 +53,11 @@ def _spec_for(path: str, ndim: int) -> P:
         if re.fullmatch(pattern, path):
             if len(spec) > ndim:  # biases etc. that match a kernel rule
                 return P()
+            if len(spec) == ndim - 1 and "/layers/layer/" in path:
+                # scanned tower (RobertaConfig.scan_layers): kernels carry
+                # a leading [num_layers] stack axis — replicate it, shard
+                # the original dims per the rule
+                return P(None, *spec)
             return spec
     return P()
 

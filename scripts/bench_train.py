@@ -88,6 +88,19 @@ def build(name: str, task: str, batch: int):
                 mem_efficient_attention=True,
             ),
         )
+    elif name == "scanflash":
+        # the batch>=48 configuration: scan-over-layers (structurally
+        # sequential backward — only ONE layer's recompute live at a time,
+        # vs the Python loop where XLA hoists all 24) + remat "full"
+        # (save only the per-layer carry) + recompute-in-backward
+        # attention.  See BENCHMARKS.md "Batch-size headroom (round 5)".
+        cfg = dataclasses.replace(
+            cfg,
+            roberta=dataclasses.replace(
+                cfg.roberta, remat=True, remat_policy="full",
+                mem_efficient_attention=True, scan_layers=True,
+            ),
+        )
     elif name == "int8frozen":
         # lever (a): int8 matmuls in the FROZEN towers' forward only
         # (stop_gradient means round()'s zero gradient never matters);

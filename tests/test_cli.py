@@ -541,6 +541,22 @@ class TestReferenceCkptOneCommand:
         # both runs produced valid prediction files over the same examples
         assert len(scores(out_ckpt)) == len(scores(out_plain)) == 6
 
+    def test_scan_layers_graft_roundtrip(self, feature_pickle,
+                                         synthetic_pth, tmp_path):
+        """--scan_layers + --reference_ckpt: the graft converts through
+        the stacked<->per-layer adapters and predictions still write."""
+        out = tmp_path / "scan"
+        acc = pmr_main([
+            "--do_test", "--tiny", "--limit", "6",
+            "--test_file", PMR_VAL,
+            "--img_feat_file", feature_pickle,
+            "--reference_ckpt", synthetic_pth,
+            "--scan_layers", "--flash_attention",
+            "--output_dir", str(out),
+        ])
+        assert 0.0 <= acc <= 1.0
+        assert (out / "result_test_ModICR_pmr.json").exists()
+
     def test_cold_start_surgery_flag(self, feature_pickle, synthetic_pth,
                                      tmp_path):
         out = tmp_path / "cold"
