@@ -51,6 +51,8 @@ def main() -> None:
                    help="examples per data-shard (rows = 4x)")
     p.add_argument("--flash", action="store_true",
                    help="mem_efficient_attention in the reasoner")
+    p.add_argument("--scan", action="store_true",
+                   help="scan-over-layers reasoner (sequential backward)")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--seq_len", type=int, default=0,
                    help="override roberta_len (0 = production 128)")
@@ -84,7 +86,7 @@ def main() -> None:
         cfg = ModCRConfig().with_dtype("bfloat16")
         rob = dataclasses.replace(
             cfg.roberta, remat=not args.no_remat,
-            mem_efficient_attention=args.flash)
+            mem_efficient_attention=args.flash, scan_layers=args.scan)
         if args.seq_len:
             cfg = dataclasses.replace(cfg, roberta_len=args.seq_len)
         cfg = dataclasses.replace(cfg, roberta=rob)
@@ -127,6 +129,7 @@ def main() -> None:
             "examples_per_device": args.examples_per_device,
             "rows_per_device": args.examples_per_device * cfg.num_labels,
             "flash_attention": args.flash,
+            "scan_layers": args.scan,
             "remat": not args.no_remat,
             "params_m": round(n_params / 1e6, 1),
             "per_device_gib": {
