@@ -427,16 +427,24 @@ def train_wordpiece(
             pair_words.setdefault(p, set()).add(w)
 
     while len(vocab) < vocab_size and pair_freq:
+        # Likelihood scoring favors RARE pairs (small denominators), so the
+        # frequency floor must be a candidacy filter, not a stop condition:
+        # breaking when the best-scored pair was rare ended training after
+        # ~one merge and produced a character-level vocab (the round-5
+        # regression test pins the non-degenerate behavior).
+        candidates = [
+            (p, f) for p, f in pair_freq.items() if f >= min_pair_freq
+        ]
+        if not candidates:
+            break
         best, bf = max(
-            pair_freq.items(),
+            candidates,
             key=lambda kv: (
                 kv[1] / (sym_freq[kv[0][0]] * sym_freq[kv[0][1]]),
                 kv[1],
                 kv[0],  # deterministic tie-break
             ),
         )
-        if bf < min_pair_freq:
-            break
         a, b = best
         new_sym = a + b[2:] if b.startswith("##") else a + b
         # two merge paths can yield the same string (("a","##bc") and

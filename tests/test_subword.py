@@ -190,6 +190,30 @@ class TestTrainedWordPiece:
         toks = tok.tokenize("unhappiness")  # unseen but char-coverable
         assert toks and "[UNK]" not in toks
 
+    def test_singleton_words_do_not_stall_training(self):
+        """Round-5 regression: likelihood scoring ranks RARE pairs highest,
+        so a corpus with singleton words made the old ``bf < min_pair_freq``
+        STOP condition fire on the first iteration — training ended after
+        ~one merge and every word tokenized to characters (vocab ~150 at a
+        budget of 8192, 3.7x sequence expansion on real PMR).  The floor
+        must filter candidacy, not stop training."""
+        # unrepeated corpus: plenty of frequency-1 words/pairs, like real
+        # data (the ×3-repeated CORPUS above never exposed the bug)
+        corpus = self.CORPUS[:5] + [
+            f"bystander number {i} gesticulates inexplicably ." for i in range(4)
+        ] + ["a quixotic zephyr vexes the jovial banker ."]
+        vocab = train_wordpiece(corpus, vocab_size=500)
+        multi = [t for t in vocab
+                 if len(t.lstrip("#")) >= 3 and not t.startswith("##")]
+        assert len(multi) >= 20, (
+            f"trainer stalled: only {len(multi)} multi-char units "
+            f"in a {len(vocab)}-entry vocab")
+        tok = corpus_wordpiece_tokenizer(corpus, vocab_size=500)
+        # frequent words must not shatter to characters
+        assert len(tok.tokenize("the")) <= 2
+        pieces = tok.tokenize("standing near the door")
+        assert len(pieces) <= 8, pieces
+
 
 class TestBasicTokenize:
     def test_cjk_and_accents(self):
