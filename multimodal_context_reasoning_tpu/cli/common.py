@@ -65,7 +65,8 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="WordPiece vocab.txt → in-tree WordPieceTokenizer")
     p.add_argument("--roberta_vocab_file", type=str, default="",
                    help="byte-BPE vocab.json → in-tree ByteBPETokenizer "
-                        "(requires --roberta_merges_file)")
+                        "(with --roberta_merges_file), or a corpus-trained "
+                        "roberta-style WordPiece vocab.txt (without)")
     p.add_argument("--roberta_merges_file", type=str, default="")
     # reference-checkpoint import (interop/assemble.py; any may be omitted)
     p.add_argument("--oscar_ckpt", type=str, default="",
@@ -255,12 +256,18 @@ def load_tokenizers(args, cfg: ModCRConfig):
     if getattr(args, "roberta_vocab_file", ""):
         from multimodal_context_reasoning_tpu.data.subword import (
             ByteBPETokenizer,
+            WordPieceTokenizer,
         )
 
-        if not args.roberta_merges_file:
-            raise ValueError("--roberta_vocab_file requires --roberta_merges_file")
-        rob = ByteBPETokenizer.from_files(
-            args.roberta_vocab_file, args.roberta_merges_file)
+        if args.roberta_merges_file:
+            rob = ByteBPETokenizer.from_files(
+                args.roberta_vocab_file, args.roberta_merges_file)
+        else:
+            # merges-less = a corpus-trained roberta-style WordPiece vocab
+            # (train_real_pmr.py/train_two_stage.py save these next to
+            # their checkpoints) — the reload half of the train→serve loop
+            rob = WordPieceTokenizer.from_roberta_style_vocab_file(
+                args.roberta_vocab_file)
     elif args.roberta_tokenizer_dir:
         from transformers import AutoTokenizer
 

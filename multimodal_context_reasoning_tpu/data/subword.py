@@ -170,6 +170,34 @@ class WordPieceTokenizer:
                     vocab[tok] = i
         return cls(vocab, **kw)
 
+    @classmethod
+    def from_roberta_style_vocab_file(cls, path: str) -> "WordPieceTokenizer":
+        """Reload a ``corpus_wordpiece_tokenizer(style="roberta")`` vocab:
+        WordPiece segmentation presented through RoBERTa surface
+        conventions (``<s>``/``</s>``/``<unk>``, pad id 1)."""
+        return cls.from_vocab_file(
+            path, unk_token="<unk>", cls_token="<s>", sep_token="</s>",
+            pad_token="<pad>",
+        )
+
+    def save_vocab_file(self, path: str) -> None:
+        """Write the vocab one token per line in id order (including the
+        appended ``<|det#|>`` rows); ``from_vocab_file`` — or
+        ``from_roberta_style_vocab_file`` for roberta-style tokenizers —
+        reproduces identical ids.  Persisting the corpus-trained vocab
+        next to a run's checkpoints is what makes the checkpoints
+        servable later: ids are meaningless without it."""
+        items = sorted(self.vocab.items(), key=lambda kv: kv[1])
+        for i, (tok, idx) in enumerate(items):
+            if i != idx:
+                raise ValueError(
+                    f"non-dense vocab: token {tok!r} has id {idx} at "
+                    f"position {i}; the line-number=id file contract "
+                    f"cannot represent it")
+        with open(path, "w", encoding="utf-8") as f:
+            for tok, _ in items:
+                f.write(tok + "\n")
+
     def __len__(self) -> int:
         return len(self.vocab)
 

@@ -248,6 +248,12 @@ def main(argv=None):
                     "%.1f s", len(bert), len(rob), time.time() - t0)
         assert len(bert) <= cfg.global_encoder.vocab_size
         assert len(rob) <= cfg.roberta.vocab_size
+        # persist the vocabs next to the run's checkpoints — the trained
+        # params are servable later only with these exact ids (reload via
+        # --bert_vocab_file / merges-less --roberta_vocab_file)
+        os.makedirs(args.out, exist_ok=True)
+        bert.save_vocab_file(os.path.join(args.out, "bert_vocab.txt"))
+        rob.save_vocab_file(os.path.join(args.out, "roberta_vocab.txt"))
     else:
         bert = HashTokenizer(vocab_size=cfg.global_encoder.vocab_size)
         rob = RobertaHashTokenizer(vocab_size=cfg.roberta.vocab_size)

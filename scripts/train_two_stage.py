@@ -263,6 +263,11 @@ def main(argv=None):
             style="roberta")
         logger.info("corpus WordPiece trained: %d/%d ids (bert/roberta)",
                     len(bert), len(rob_tok))
+        # persist the vocabs next to the run's exports (see
+        # train_real_pmr.py — checkpoints are servable only with these ids)
+        os.makedirs(args.out, exist_ok=True)
+        bert.save_vocab_file(os.path.join(args.out, "bert_vocab.txt"))
+        rob_tok.save_vocab_file(os.path.join(args.out, "roberta_vocab.txt"))
     else:
         bert = HashTokenizer(vocab_size=enc_cfg.vocab_size)
         rob_tok = RobertaHashTokenizer(vocab_size=cfg2.roberta.vocab_size)

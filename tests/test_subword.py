@@ -190,6 +190,51 @@ class TestTrainedWordPiece:
         toks = tok.tokenize("unhappiness")  # unseen but char-coverable
         assert toks and "[UNK]" not in toks
 
+    def test_save_reload_roundtrip_both_styles(self, tmp_path):
+        """Persisted corpus vocabs must reproduce identical ids on reload
+        (checkpoints are servable only with their exact id space); the
+        merges-less --roberta_vocab_file CLI path uses the roberta-style
+        loader."""
+        texts = self.CORPUS + ["watch <|det12|> hand <|det3|> the cup ."]
+        for style, reload_fn in (
+            ("bert", WordPieceTokenizer.from_vocab_file),
+            ("roberta", WordPieceTokenizer.from_roberta_style_vocab_file),
+        ):
+            tok = corpus_wordpiece_tokenizer(texts, vocab_size=300,
+                                             style=style)
+            path = tmp_path / f"{style}_vocab.txt"
+            tok.save_vocab_file(str(path))
+            back = reload_fn(str(path))
+            assert len(back) == len(tok)
+            assert back.pad_id == tok.pad_id
+            for t in texts:
+                toks = tok.tokenize(t)
+                assert back.tokenize(t) == toks
+                assert (back.convert_tokens_to_ids(toks)
+                        == tok.convert_tokens_to_ids(toks))
+
+    def test_cli_loader_accepts_mergesless_roberta_vocab(self, tmp_path):
+        import argparse
+
+        from multimodal_context_reasoning_tpu.cli.common import (
+            load_tokenizers,
+        )
+        from multimodal_context_reasoning_tpu.core.config import ModCRConfig
+
+        tok = corpus_wordpiece_tokenizer(self.CORPUS, vocab_size=300,
+                                         style="roberta")
+        path = tmp_path / "roberta_vocab.txt"
+        tok.save_vocab_file(str(path))
+        args = argparse.Namespace(
+            bert_vocab_file="", bert_tokenizer_dir="",
+            roberta_vocab_file=str(path), roberta_merges_file="",
+            roberta_tokenizer_dir="")
+        _, rob = load_tokenizers(args, ModCRConfig.tiny())
+        text = self.CORPUS[0]
+        assert rob.tokenize(text) == tok.tokenize(text)
+        assert rob.convert_tokens_to_ids(rob.tokenize(text)) == \
+            tok.convert_tokens_to_ids(tok.tokenize(text))
+
     def test_singleton_words_do_not_stall_training(self):
         """Round-5 regression: likelihood scoring ranks RARE pairs highest,
         so a corpus with singleton words made the old ``bf < min_pair_freq``
